@@ -1,0 +1,78 @@
+"""Level-synchronous BFS (frontier traversal) + predecessor extraction.
+
+Reference: Algorithms/BFS/bfs.h —
+- init label = -1, label[src] = 0 (:69-78); single source (:128-131);
+- expand: every frontier vertex emits all out-neighbors (:216-227);
+- contract: drop already-labeled vertices, else label = depth (:229-255);
+- labels are DEPTH from the source (source = 0).
+
+Predecessor extraction is the reference's separate post-pass over in-edges
+(Algorithms/BFS/predextract.cuh:246-375): for each visited v pick an
+in-neighbor u with label[u] == label[v] - 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.gas import GASEngine, GASProgram, GASResult
+from ..sources.edges import vertex_frame
+
+
+def bfs_program() -> GASProgram:
+    return GASProgram(
+        name="bfs",
+        mode="push",
+        state_cols=("depth",),
+        message=lambda df: F.col("depth") + F.lit(1),  # candidate depth
+        combiner=F.min,
+        # contract/apply: first discovery wins (bfs.h:241-253)
+        apply=lambda df: {
+            "depth": F.when(
+                (F.col("depth") < 0) & F.col("_gathered").isNotNull(), F.col("_gathered")
+            ).otherwise(F.col("depth"))
+        },
+        changed=lambda df: (F.col("depth") < 0) & (F.col("_new_depth") >= 0),
+    )
+
+
+def bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int,
+    *,
+    vertices: DataFrame | None = None,
+    max_iter: int = 10_000,
+    engine: GASEngine | None = None,
+    **engine_kwargs,
+) -> GASResult:
+    """result.vertices = (id, depth); depth = -1 for unreached (bfs.h:69)."""
+    if engine is None:
+        engine = GASEngine(spark, edges, **engine_kwargs)
+    if vertices is None:
+        vertices = vertex_frame(edges)
+    v0 = vertices.select(
+        "id",
+        F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
+    )
+    frontier0 = vertices.filter(F.col("id") == source).select("id")
+    return engine.run(bfs_program(), v0, frontier0, max_iter=max_iter)
+
+
+def pred_extract(result_vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """(id, depth, pred): any in-neighbor one level shallower; source/unreached
+    get pred = -1. Mirrors predextract.cuh:246-375 (gather over in-edges)."""
+    v = result_vertices.select("id", "depth")
+    preds = (
+        edges.join(v.withColumnRenamed("id", "dst").withColumnRenamed("depth", "d_dst"), on="dst")
+        .join(
+            v.select(F.col("id").alias("src"), F.col("depth").alias("d_src")), on="src"
+        )
+        .filter((F.col("d_dst") > 0) & (F.col("d_src") == F.col("d_dst") - 1))
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("pred"))  # deterministic pick (reference picks any)
+    )
+    return v.join(preds, on="id", how="left").select(
+        "id", "depth", F.coalesce(F.col("pred"), F.lit(-1)).alias("pred")
+    )

@@ -1,0 +1,84 @@
+"""PageRank with the reference's exact per-vertex frontier semantics.
+
+Reference: Algorithms/PageRank/PageRank.h —
+- init rank = 0.15 for every vertex (:112-116), frontier = ALL (:130-139);
+- superstep: rank[v] <- 0.15 + 0.85 * sum_{u->v} rank[u] / out_deg(u)
+  (gather_edge :233-243, gather_sum :248-254, apply :257-283);
+- a vertex leaves the frontier when |Δrank| < tol (:271-277; reference
+  default tol 0.01, we default 1e-6 per BASELINE.json);
+- next frontier = out-neighbors of changed vertices, exact dedup
+  (allow_duplicates=false, PageRank.h:43).
+
+This is the *non-normalized* GraphLab formulation: ranks do NOT sum to 1,
+dangling vertices simply contribute nothing, no teleport renormalization.
+Matched exactly (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.gas import GASEngine, GASProgram, GASResult
+from ..sources.edges import out_degrees, vertex_frame
+
+
+def pagerank_program(damping: float = 0.85, tol: float = 1e-6) -> GASProgram:
+    base = 1.0 - damping
+
+    return GASProgram(
+        name="pagerank",
+        mode="pull",
+        state_cols=("rank", "out_deg"),
+        # gather_edge: nbr_rank / nbr_out_deg (PageRank.h:233-243)
+        message=lambda df: F.col("rank") / F.col("out_deg"),
+        # gather_sum: + (PageRank.h:248-254)
+        combiner=F.sum,
+        # apply: 0.15 + 0.85 * gathered, frontier vertices only (:257-283)
+        apply=lambda df: {
+            "rank": F.when(
+                F.col("_in_frontier"),
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("_gathered"), F.lit(0.0)),
+            ).otherwise(F.col("rank"))
+        },
+        # leave frontier when |Δ| < tol (:271-277)
+        changed=lambda df: F.col("_in_frontier")
+        & (F.abs(F.col("_new_rank") - F.col("rank")) >= F.lit(tol)),
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    engine: GASEngine | None = None,
+    resume: bool = False,
+    **engine_kwargs,
+) -> GASResult:
+    """Run PageRank; result.vertices = (id, rank, out_deg).
+
+    ``vertices`` defaults to all ids appearing in ``edges``; pass an
+    explicit (id) frame to include isolated vertices (their rank is the
+    base 0.15, as in the reference where every allocated vertex holds
+    rank even if degree 0).
+    """
+    if engine is None:
+        engine = GASEngine(spark, edges, **engine_kwargs)
+    if vertices is None:
+        vertices = vertex_frame(edges)
+    deg = out_degrees(edges)
+    v0 = (
+        vertices.join(deg, on="id", how="left")
+        .select(
+            "id",
+            F.lit(1.0 - damping).alias("rank"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+        )
+    )
+    frontier0 = vertices.select("id")  # srcVertex() == ALL (PageRank.h:192-195)
+    prog = pagerank_program(damping=damping, tol=tol)
+    return engine.run(prog, v0, frontier0, max_iter=max_iter, resume=resume)

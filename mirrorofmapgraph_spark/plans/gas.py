@@ -1,0 +1,447 @@
+"""The GAS superstep engine: Gather-Apply-Scatter as DataFrame dataflow.
+
+Re-expression of the reference's vertex-centric enactor
+(GASengine/enactor_vertex_centric.cuh:2400-2908 EnactIterativeSearch) on
+Spark. Phase mapping (SURVEY.md §2.2):
+
+- gather  (enactor:1285-1608, merge-path kernel + mgpu::ReduceByKey)
+    -> frontier ⋈ edges ⋈ vertex-state equi-joins + groupBy(dst).agg(combiner)
+- apply   (enactor:1234-1283)
+    -> vertices left-join gathered + column expressions (changed flag)
+- expand/contract (enactor:539-1230, 1882-2397, 2787-2864; the four
+  dedup culls contract_atomic/cta.cuh:200-344)
+    -> filter(changed) ⋈ edges + exact distinct/groupBy — the culls are
+       GPU approximations of exact dedup; Spark does it exactly in one
+       shuffle.
+- convergence readback (4-byte D2H per superstep, enactor:2866-2869)
+    -> one driver-side count() per superstep.
+- frontier-size threshold switch between two-phase and dynamic kernels
+  (enactor:2694-2702, default threshold 10000)
+    -> broadcast-join the frontier when small, shuffle-join otherwise
+      (plus AQE doing the same from runtime stats).
+- ping-pong double buffering (csr_problem.cuh:180-183)
+    -> DataFrame immutability; per-superstep localCheckpoint truncates
+       lineage (else plans grow exponentially across supersteps).
+
+Two execution modes cover all four reference algorithms:
+- "pull": gather over in-edges of the frontier from *all* in-neighbors'
+  current state (PageRank: GATHER_IN_EDGES). Next frontier = out-neighbors
+  of changed vertices (expand_vertex gating = push-based delta
+  computation, enactor:360-389).
+- "push": frontier vertices push messages along out-edges; combiner-min
+  per dst (BFS/SSSP/CC: expand+contract with atomicMin,
+  Algorithms/SSSP/sssp.h:315-402). Next frontier = improved vertices.
+
+Scale design: the edge table is hash-partitioned ONCE per join key (dst
+for gather, src for expand — the CSR/CSC dual-index analogue,
+csr_problem.cuh:154-158) and persisted, so the big side never re-shuffles
+inside the loop; only frontier/message-sized data moves. Combiners
+(sum/min/max) get map-side partial aggregation, so a 4M-degree hub
+(reference bitcoin, SIGMOD Table 1) contributes at most one partial row
+per map task to the reduce side; optional two-level salted aggregation
+covers non-partial-friendly combiners and extreme reduce-side skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class GASProgram:
+    """A vertex program — the analogue of the reference's algorithm struct
+    (gather_edge / gather_sum / apply / expand_edge / contract functors,
+    e.g. Algorithms/PageRank/PageRank.h, Algorithms/SSSP/sssp.h)."""
+
+    name: str
+    #: "pull" (gather over in-edges: PR) or "push" (scatter over out-edges:
+    #: BFS/SSSP/CC). Maps the reference's gatherOverEdges/expandOverEdges
+    #: policy selectors (GASengine/csr_problem.cuh:68-91).
+    mode: str
+    #: state columns carried on the vertex frame (besides ``id``).
+    state_cols: tuple[str, ...]
+    #: per-edge message value. Input frame columns: src, dst, w, plus the
+    #: src vertex's state columns. (gather_edge / expand_edge analogue.)
+    message: Callable[[DataFrame], Column]
+    #: commutative-associative combiner over messages per dst
+    #: (gather_sum analogue): e.g. lambda c: F.sum(c) / F.min(c).
+    combiner: Callable[[Column], Column]
+    #: new-state expressions given vertices ⋈ gathered. Input frame has the
+    #: old state cols plus ``_gathered`` (null when no message arrived) and
+    #: ``_in_frontier`` (this vertex is in the apply scope this superstep).
+    #: Returns {state_col: Column}. (apply functor analogue.)
+    apply: Callable[[DataFrame], dict[str, Column]]
+    #: changed predicate over old+new state (columns ``<c>`` old and
+    #: ``_new_<c>``); drives the next frontier (expand_vertex analogue).
+    changed: Callable[[DataFrame], Column]
+    #: push mode: optional emit predicate evaluated on the message frame
+    #: (expand_edge's conditional emit, sssp.h:342-358).
+    message_filter: Callable[[DataFrame], Column] | None = None
+
+
+@dataclass
+class SuperstepMetrics:
+    superstep: int
+    frontier_size: int
+    edges_traversed: int
+    changed: int
+    wall_ms: float
+
+    def as_dict(self) -> dict:
+        return self.__dict__.copy()
+
+
+@dataclass
+class GASResult:
+    vertices: DataFrame
+    supersteps: int
+    metrics: list[SuperstepMetrics] = field(default_factory=list)
+    converged: bool = True
+
+
+class GASEngine:
+    """Superstep driver. One instance per (edges, config); run() per program.
+
+    Parameters
+    ----------
+    broadcast_threshold:
+        frontier row count under which the frontier side of joins gets an
+        explicit broadcast hint — the analogue of the reference's
+        two-phase/dynamic threshold switch (default 10000 there,
+        register.h:38-40; ours defaults higher because a Spark broadcast
+        comfortably holds millions of 8-byte ids).
+    salt_buckets:
+        >0 enables two-level salted aggregation in gather for hub-skewed
+        dst keys (north-rule skew handling; beyond AQE skew-join, which
+        only splits join partitions, not aggregation hot keys).
+    checkpoint_every:
+        every k supersteps write a durable parquet checkpoint + manifest
+        (resume point). 0 disables durable checkpoints; lineage is still
+        truncated per superstep via localCheckpoint.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        edges: DataFrame,
+        *,
+        broadcast_threshold: int = 1_000_000,
+        salt_buckets: int = 0,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 0,
+        collect_metrics: bool = True,
+        num_partitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.broadcast_threshold = broadcast_threshold
+        self.salt_buckets = salt_buckets
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.collect_metrics = collect_metrics
+        self.num_partitions = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        self._edges_raw = edges
+        self._edges_by: dict[str, DataFrame] = {}
+
+    # -- edge-side pre-partitioning (once, outside the loop) ---------------
+
+    def edges_partitioned(self, key: str) -> DataFrame:
+        """Edge table hash-partitioned by ``key`` and persisted, so the big
+        side of every superstep join is pre-shuffled (the analogue of the
+        reference's one-time CSR/CSC device build, csr_problem.cuh:401-625)."""
+        if key not in self._edges_by:
+            df = self._edges_raw.repartition(self.num_partitions, F.col(key)).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._edges_by[key] = df
+        return self._edges_by[key]
+
+    def unpersist(self) -> None:
+        for df in self._edges_by.values():
+            df.unpersist()
+        self._edges_by.clear()
+
+    # -- checkpoint/resume -------------------------------------------------
+
+    def _manifest_path(self, program_name: str) -> str:
+        return os.path.join(self.checkpoint_dir, program_name, "manifest.json")
+
+    def write_checkpoint(
+        self,
+        program_name: str,
+        superstep: int,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        metrics: list[SuperstepMetrics],
+    ) -> str:
+        """Durable parquet checkpoint + JSON manifest with per-partition
+        lineage (row counts per partition) — the north rule's resume point."""
+        base = os.path.join(self.checkpoint_dir, program_name, f"step={superstep}")
+        vpath = os.path.join(base, "vertices")
+        fpath = os.path.join(base, "frontier")
+        vertices.write.mode("overwrite").parquet(vpath)
+        frontier.write.mode("overwrite").parquet(fpath)
+        partition_lineage = [
+            {"pid": r["pid"], "rows": r["rows"]}
+            for r in self.spark.read.parquet(vpath)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        manifest = {
+            "program": program_name,
+            "superstep": superstep,
+            "vertices_path": vpath,
+            "frontier_path": fpath,
+            "partition_lineage": partition_lineage,
+            "metrics": [m.as_dict() for m in metrics],
+        }
+        mpath = self._manifest_path(program_name)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, mpath)  # atomic publish
+        return mpath
+
+    def load_checkpoint(
+        self, program_name: str
+    ) -> tuple[int, DataFrame, DataFrame, list[dict]] | None:
+        """Returns (superstep, vertices, frontier, metrics) or None."""
+        if not self.checkpoint_dir:
+            return None
+        mpath = self._manifest_path(program_name)
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            m = json.load(f)
+        vertices = self.spark.read.parquet(m["vertices_path"])
+        frontier = self.spark.read.parquet(m["frontier_path"])
+        return m["superstep"], vertices, frontier, m["metrics"]
+
+    # -- the superstep loop ------------------------------------------------
+
+    def run(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        *,
+        max_iter: int = 100,
+        resume: bool = False,
+    ) -> GASResult:
+        """Iterate supersteps until the frontier drains or ``max_iter``.
+
+        ``vertices``: (id, *program.state_cols); ``frontier``: (id).
+        """
+        start_step = 0
+        metrics: list[SuperstepMetrics] = []
+        if resume and self.checkpoint_dir:
+            ck = self.load_checkpoint(program.name)
+            if ck is not None:
+                start_step, vertices, frontier, old_metrics = ck
+                metrics = [SuperstepMetrics(**m) for m in old_metrics]
+
+        superstep_fn = (
+            self._superstep_pull if program.mode == "pull" else self._superstep_push
+        )
+        # Pre-partition the big side(s) before entering the loop.
+        self.edges_partitioned("dst" if program.mode == "pull" else "src")
+        if program.mode == "pull":
+            self.edges_partitioned("src")  # expand side (CSC/CSR dual index)
+
+        vertices = vertices.localCheckpoint(eager=True)
+        frontier = frontier.localCheckpoint(eager=True)
+        frontier_size = frontier.count()
+
+        step = start_step
+        stale: list[DataFrame] = []  # persisted frames to release (t-2)
+        while frontier_size > 0 and step < max_iter:
+            t0 = time.monotonic()
+            applied = superstep_fn(program, vertices, frontier, frontier_size)
+            # Ping-pong buffer swap + lineage cut. The superstep plan embeds
+            # the previous state/frontier several times each, so WITHOUT a
+            # hard truncation the logical plan grows exponentially across
+            # supersteps (measured: 4 supersteps -> 60s of pure planning).
+            # localCheckpoint is the reference's reset_gather/double-buffer
+            # analogue (csr_problem.cuh:180-183).
+            applied = applied.localCheckpoint(eager=True)
+            vertices = applied.drop("_changed", "_msg_cnt")
+            frontier = self._next_frontier(program, applied, frontier_size).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            frontier_size = frontier.count()  # convergence readback (4-byte D2H analogue)
+            step += 1
+            traversed = changed_n = 0
+            if self.collect_metrics:
+                row = applied.agg(
+                    F.sum("_msg_cnt").alias("tr"),
+                    F.sum(F.col("_changed").cast("long")).alias("ch"),
+                ).collect()[0]
+                traversed = int(row["tr"] or 0)
+                changed_n = int(row["ch"] or 0)
+            wall_ms = (time.monotonic() - t0) * 1000.0
+            metrics.append(
+                SuperstepMetrics(step, frontier_size, traversed, changed_n, wall_ms)
+            )
+            if os.environ.get("MOMG_GAS_DEBUG"):
+                print(
+                    f"[gas:{program.name}] step={step} frontier={frontier_size} "
+                    f"traversed={traversed} changed={changed_n} ms={wall_ms:.0f}",
+                    flush=True,
+                )
+            # release frontier frames two generations back
+            while len(stale) > 1:
+                stale.pop(0).unpersist()
+            stale.append(frontier)
+            if (
+                self.checkpoint_dir
+                and self.checkpoint_every
+                and step % self.checkpoint_every == 0
+            ):
+                self.write_checkpoint(program.name, step, vertices, frontier, metrics)
+
+        if self.checkpoint_dir and self.checkpoint_every:
+            self.write_checkpoint(program.name, step, vertices, frontier, metrics)
+        return GASResult(
+            vertices=vertices,
+            supersteps=step - start_step,
+            metrics=metrics,
+            converged=frontier_size == 0,
+        )
+
+    # frontier-side hint: broadcast small frontiers (reference two-phase /
+    # dynamic strategy switch, enactor_vertex_centric.cuh:2694-2702).
+    def _hint(self, frontier: DataFrame, frontier_size: int) -> DataFrame:
+        if frontier_size <= self.broadcast_threshold:
+            return F.broadcast(frontier)
+        return frontier
+
+    def _aggregate(self, msgs: DataFrame, program: GASProgram) -> DataFrame:
+        """groupBy(dst).agg(combiner) with optional two-level salting."""
+        val = F.col("_msg")
+        if self.salt_buckets > 1:
+            partial = (
+                msgs.withColumn(
+                    "_salt", F.pmod(F.xxhash64("src"), F.lit(self.salt_buckets))
+                )
+                .groupBy("dst", "_salt")
+                .agg(program.combiner(val).alias("_msg"), F.count("*").alias("_cnt"))
+            )
+            return partial.groupBy("dst").agg(
+                program.combiner(F.col("_msg")).alias("_gathered"),
+                F.sum("_cnt").alias("_msg_cnt"),
+            )
+        return msgs.groupBy("dst").agg(
+            program.combiner(val).alias("_gathered"),
+            F.count("*").alias("_msg_cnt"),
+        )
+
+    def _apply(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        gathered: DataFrame,
+        frontier: DataFrame,
+        frontier_size: int,
+    ) -> DataFrame:
+        """Join gathered values onto vertex state, mark frontier membership,
+        and evaluate apply/changed. Returns (id, *state, _msg_cnt, _changed)."""
+        joined = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), on="id", how="left")
+            .join(
+                self._hint(frontier.withColumn("_f", F.lit(True)), frontier_size),
+                on="id",
+                how="left",
+            )
+            .withColumn("_in_frontier", F.coalesce(F.col("_f"), F.lit(False)))
+        )
+        new_cols = program.apply(joined)
+        for c, expr in new_cols.items():
+            joined = joined.withColumn(f"_new_{c}", expr)
+        joined = joined.withColumn(
+            "_changed", F.coalesce(program.changed(joined), F.lit(False))
+        )
+        keep = [F.col("id")]
+        for c in program.state_cols:
+            keep.append(
+                F.col(f"_new_{c}").alias(c) if f"_new_{c}" in joined.columns else F.col(c)
+            )
+        keep.append(F.coalesce(F.col("_msg_cnt"), F.lit(0)).alias("_msg_cnt"))
+        keep.append(F.col("_changed"))
+        return joined.select(*keep)
+
+    def _superstep_pull(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        frontier_size: int,
+    ) -> DataFrame:
+        edges = self.edges_partitioned("dst")
+        # GATHER: in-edges of frontier vertices, reading *all* in-neighbors'
+        # current state (gather_mgpu, enactor:1285-1608).
+        touched = edges.join(
+            self._hint(frontier.withColumnRenamed("id", "dst"), frontier_size),
+            on="dst",
+            how="inner",
+        )
+        msgs = touched.join(vertices, touched["src"] == vertices["id"], "inner").drop("id")
+        msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
+        gathered = self._aggregate(msgs, program)
+
+        # APPLY over the frontier only (APPLY_FRONTIER policy).
+        return self._apply(program, vertices, gathered, frontier, frontier_size)
+
+    def _superstep_push(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        frontier_size: int,
+    ) -> DataFrame:
+        edges = self.edges_partitioned("src")
+        # EXPAND: frontier vertices push along out-edges
+        # (expand_edge, sssp.h:315-358); state travels with the frontier.
+        frontier_state = self._hint(
+            vertices.join(frontier, on="id", how="inner"), frontier_size
+        ).withColumnRenamed("id", "src")
+        msgs = edges.join(frontier_state, on="src", how="inner")
+        if program.message_filter is not None:
+            msgs = msgs.filter(program.message_filter(msgs))
+        msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
+
+        # CONTRACT: exact combiner-per-dst replaces the atomic-min culls
+        # (contract_atomic/cta.cuh:200-344).
+        gathered = self._aggregate(msgs, program)
+        return self._apply(program, vertices, gathered, frontier, frontier_size)
+
+    def _next_frontier(
+        self, program: GASProgram, applied: DataFrame, frontier_size: int
+    ) -> DataFrame:
+        """SCATTER from the *materialized* applied state (so the expand
+        join never recomputes the superstep)."""
+        if program.mode == "pull":
+            # out-neighbors of changed vertices, exact dedup (the contract
+            # culls done exactly: one distinct shuffle).
+            edges_src = self.edges_partitioned("src")
+            changed_src = applied.filter(F.col("_changed")).select(
+                F.col("id").alias("src")
+            )
+            return (
+                edges_src.join(
+                    self._hint(changed_src, frontier_size), on="src", how="inner"
+                )
+                .select(F.col("dst").alias("id"))
+                .distinct()
+            )
+        return applied.filter(F.col("_changed")).select("id")

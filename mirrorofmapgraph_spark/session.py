@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine tunes physical execution per GPU architecture
+(GASengine/enactor_vertex_centric.cuh:2917-2962); our analogue is a small
+set of Spark confs: AQE (runtime re-planning, skew-join splitting,
+partition coalescing), Arrow for the pandas-UDF path, and shuffle
+partition counts sized to the cluster rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    # AQE: runtime join-strategy switch + skew-join splitting + partition
+    # coalescing. This is the Spark analogue of the reference's
+    # frontier-size threshold switch and dynamic per-vertex granularity
+    # (enactor_vertex_centric.cuh:2694-2702, expand_atomic/cta.cuh:257-463).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow batch transfer for pandas UDFs (link extraction, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Deterministic timestamp behaviour for parquet written by other engines.
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "mirrorofmapgraph-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    in this sandbox; on a real cluster callers pass nothing and
+    spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+    return spark
+
+
+def stop_and_renew(spark: SparkSession, **kwargs) -> SparkSession:
+    """Stop a session and start a fresh one (used by bench.py to run the
+    same job at two parallelism levels for scaling-efficiency evidence)."""
+    spark.stop()
+    # getOrCreate would otherwise reuse the stopped session's conf cache.
+    SparkSession.builder._options = {}  # noqa: SLF001 - reset builder state
+    return get_spark(**kwargs)

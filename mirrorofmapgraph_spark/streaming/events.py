@@ -1,0 +1,119 @@
+"""Structured Streaming over the `events` table shape
+(event_id, ts, user_id, event_type, value, props).
+
+The reference has no streaming surface (SURVEY.md §2.6) — its loop is
+iterative batch. This module adds the Spark-native streaming layer a
+production link-graph/training pipeline needs: file-source ingestion,
+watermarked tumbling-window aggregation, and incremental edge extraction
+(event stream -> user->user interaction edges) that feeds the GAS engine
+between supersteps. Every transformation also runs in plain batch mode
+(same function, batch DataFrame in) — tested both ways.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type. Works on both a
+    streaming and a batch DataFrame (watermark is a no-op in batch)."""
+    src = events
+    if src.isStreaming:
+        # watermarks require TIMESTAMP (LTZ); parquet written with NTZ is
+        # cast in the session timezone (UTC) — values are unchanged.
+        if dict(src.dtypes)["ts"] == "timestamp_ntz":
+            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: per-user sessions split on inactivity gaps.
+    (user_id, session_id, session_start, n_events, sum_value).
+
+    One window-function pass (lag + cumulative sum) — the standard
+    shuffle-once formulation.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # unix_timestamp handles both TIMESTAMP and TIMESTAMP_NTZ (Spark 4
+    # forbids a direct cast of NTZ to numeric)
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    marked = events.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_seq", F.sum("_new_session").over(w)
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def event_edges(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
+    """Incremental graph feed: co-occurrence edges between users active in
+    the same window (bounded per-window self-join — streaming-safe with a
+    watermark upstream). Returns (src, dst, w=co-occurrence count)."""
+    act = events.select(
+        F.window("ts", window).alias("win"), F.col("user_id")
+    ).dropDuplicates(["win", "user_id"])
+    a = act.select("win", F.col("user_id").alias("src"))
+    b = act.select("win", F.col("user_id").alias("dst"))
+    return (
+        a.join(b, on="win")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def stream_from_directory(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """File-source stream over a directory of parquet event files."""
+    reader = spark.readStream.format("parquet")
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.parquet(path)
+        reader = reader.schema(static.schema)
+    return reader.load(path)
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, *, timeout_s: int = 60
+) -> None:
+    """Drive a streaming DataFrame into an in-memory sink until all
+    available data is processed (test/bench harness)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -1,0 +1,106 @@
+"""PageRank vs the numpy oracle — allclose 1e-6 per BASELINE.json.
+
+Mirrors the reference's PR validation (PageRank.cu:180-198 l2-norm vs CPU
+Jacobi; regressions/checkPageRank.py tolerance histogram) but stricter:
+per-vertex allclose at 1e-6 on the same per-vertex frontier semantics.
+
+Note on damping in tests: convergence to |Δ|<1e-6 takes ~log(tol)/log(d)
+supersteps on cyclic graphs (~80 at d=0.85), and each Spark superstep
+costs ~1s of fixed local-mode job overhead. DAG fixtures converge in
+diameter steps at any damping, so the strict d=0.85 parity tests run on
+DAGs; cyclic fixtures use smaller damping. Semantics are identical — the
+oracle implements the same frontier rule with the same parameters.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from fixtures import MULTI, MULTI_N, SMALL, SMALL_N, TRIVIAL, TRIVIAL_N, ches_like
+from oracles import pagerank_ref
+
+from mirrorofmapgraph_spark.operators.pagerank import pagerank
+from mirrorofmapgraph_spark.sources.edges import canonicalize
+
+
+def random_dag(n=150, m=900, seed=7):
+    rng = random.Random(seed)
+    seen = set()
+    edges = []
+    while len(edges) < m:
+        s = rng.randrange(n - 1)
+        d = rng.randrange(s + 1, n)
+        if (s, d) not in seen:
+            seen.add((s, d))
+            edges.append((s, d, float(rng.randint(1, 5))))
+    return edges
+
+
+def run_and_compare(
+    spark, make_edges, make_vertices, edges, n, tol=1e-6, max_iter=100, damping=0.85
+):
+    e = canonicalize(make_edges(edges))
+    dedup = {}
+    for s, d, w in edges:
+        dedup[(s, d)] = min(w, dedup.get((s, d), w))
+    py_edges = [(s, d, w) for (s, d), w in sorted(dedup.items())]
+    expected, ref_iters = pagerank_ref(n, py_edges, tol=tol, max_iter=max_iter, damping=damping)
+    res = pagerank(
+        spark, e, vertices=make_vertices(n), tol=tol, max_iter=max_iter, damping=damping,
+        broadcast_threshold=10_000,
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    assert len(got) == n
+    for v in range(n):
+        assert math.isclose(got[v], expected[v], rel_tol=0, abs_tol=1e-6), (
+            f"vertex {v}: got {got[v]}, want {expected[v]}"
+        )
+    return res, ref_iters
+
+
+def test_small(spark, make_edges, make_vertices):
+    # DAG: full reference damping 0.85 at tol 1e-6
+    res, ref_iters = run_and_compare(spark, make_edges, make_vertices, SMALL, SMALL_N)
+    assert res.converged
+    assert res.supersteps == ref_iters
+
+
+def test_random_dag_full_damping(spark, make_edges, make_vertices):
+    # flagship parity: 150 vertices, 900 edges, damping 0.85, tol 1e-6
+    res, _ = run_and_compare(
+        spark, make_edges, make_vertices, random_dag(), 150, max_iter=200
+    )
+    assert res.converged
+
+
+def test_trivial_cycle(spark, make_edges, make_vertices):
+    # 2-cycle mass trap at the tail; dangling-source vertex 0 stays at base
+    res, _ = run_and_compare(
+        spark, make_edges, make_vertices, TRIVIAL, TRIVIAL_N, max_iter=200, damping=0.6
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    assert math.isclose(got[0], 0.4, abs_tol=1e-9)  # base = 1 - damping
+
+
+def test_ches_undirected(spark, make_edges, make_vertices):
+    edges, n = ches_like()
+    run_and_compare(spark, make_edges, make_vertices, edges, n, max_iter=200, damping=0.5)
+
+
+def test_multi_pathologies(spark, make_edges, make_vertices):
+    # self-loop, duplicate edge (deduped at build), isolated vertex
+    res, _ = run_and_compare(
+        spark, make_edges, make_vertices, MULTI, MULTI_N, max_iter=200, damping=0.5
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    assert math.isclose(got[9], 0.5, abs_tol=1e-9)  # isolated: base rank
+
+
+def test_metrics_recorded(spark, make_edges, make_vertices):
+    res, _ = run_and_compare(spark, make_edges, make_vertices, SMALL, SMALL_N)
+    assert len(res.metrics) == res.supersteps
+    m0 = res.metrics[0]
+    assert m0.edges_traversed > 0 and m0.wall_ms > 0

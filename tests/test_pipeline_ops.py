@@ -1,0 +1,248 @@
+"""Dedup / similarity / text-stats / multimodal operators on the
+driver-provided documents+embeddings tables (sf0.001) and synthetic docs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mirrorofmapgraph_spark.functions.hashing import token_hash_py
+from mirrorofmapgraph_spark.operators.dedup import (
+    exact_dedup,
+    exact_duplicates,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from mirrorofmapgraph_spark.operators.multimodal import (
+    decode_image,
+    extract_audio_features,
+    sample_frames,
+    synthesize_assets,
+)
+from mirrorofmapgraph_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_duplicates_cosine,
+)
+from mirrorofmapgraph_spark.operators.textstats import fingerprints, text_stats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def make_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# ---- exact dedup -----------------------------------------------------------
+
+def test_exact_dedup(spark):
+    d = make_docs(spark, ["aa bb cc", "dd ee", "aa bb cc", "ff", "dd ee", "aa bb cc"])
+    groups = {r["keep_id"]: r["n_docs"] for r in exact_duplicates(d).collect()}
+    assert groups == {0: 3, 1: 2, 3: 1}
+    kept = sorted(r["doc_id"] for r in exact_dedup(d).collect())
+    assert kept == [0, 1, 3]
+
+
+# ---- minhash LSH ----------------------------------------------------------
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    texts = [
+        base,
+        base.replace("lazy", "sleepy"),          # near-dup of 0
+        "completely different words entirely unrelated content about spark engines",
+        base.replace("quick", "rapid").replace("far", "near"),  # near-dup-ish
+    ]
+    d = make_docs(spark, texts)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_candidates(d, num_perm=64, bands=16, ngram=2).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] > 0.3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_est_matches_true_jaccard_roughly(spark):
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 x9 x10 x11 x12"
+    d = make_docs(spark, [a, b])
+    rows = minhash_candidates(d, num_perm=128, bands=32, ngram=2).collect()
+    assert len(rows) == 1
+    est = rows[0]["est_jaccard"]
+    # true 2-gram jaccard: shared=7 of (11+11-7)
+    true_j = 7 / 15
+    assert abs(est - true_j) < 0.25
+
+
+# ---- simhash ---------------------------------------------------------------
+
+def test_simhash_deterministic_and_similar(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    d = make_docs(spark, [a, a, "totally different text here now"])
+    rows = {r["id"]: r["simhash"] for r in simhash_fingerprints(d).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    assert 0 <= rows[0] < (1 << 32)
+
+
+# ---- ngram jaccard ---------------------------------------------------------
+
+def test_ngram_jaccard_exact(spark):
+    a = "w1 w2 w3 w4 w5"
+    b = "w1 w2 w3 w4 x5"
+    d = make_docs(spark, [a, b])
+    rows = ngram_jaccard_pairs(d, ngram=2, threshold=0.1).collect()
+    assert len(rows) == 1
+    # 2-grams: a={w1w2,w2w3,w3w4,w4w5}, b={w1w2,w2w3,w3w4,w4x5}: 3/5
+    assert math.isclose(rows[0]["jaccard"], 3 / 5, abs_tol=1e-9)
+
+
+def test_ngram_jaccard_blocking(spark, docs):
+    pairs = ngram_jaccard_pairs(
+        docs, ngram=3, threshold=0.2, block_cols=("lang",)
+    )
+    assert pairs.count() >= 0  # runs within blocks; no cross-lang pairs
+    # verify blocking respected: join back and compare langs
+    langs = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("la"))
+    langs_b = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lb"))
+    bad = pairs.join(langs, "id_a").join(langs_b, "id_b").filter(
+        F.col("la") != F.col("lb")
+    )
+    assert bad.count() == 0
+
+
+# ---- token hash portability -------------------------------------------------
+
+def test_token_hash_matches_python(spark):
+    from mirrorofmapgraph_spark.functions.hashing import token_hash
+
+    words = ["hello", "spark", "a", "xyzzy"]
+    df = spark.createDataFrame([(w,) for w in words], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", token_hash(F.col("t")).alias("h")).collect()}
+    for w in words:
+        assert got[w] == token_hash_py(w)
+
+
+# ---- similarity ------------------------------------------------------------
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        qv = mat[ids.index(q)]
+        scores = mat @ qv / (norms * np.linalg.norm(qv))
+        order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))[:5]
+        want = [ids[i] for i in order]
+        got_ids = [v for _, v, _ in sorted(by_q[q])]
+        assert got_ids == want
+        for rank, vid, score in by_q[q]:
+            assert abs(score - scores[ids.index(vid)]) < 1e-4
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=64, num_planes=12, bands=6)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # self-match must always be found (identical vector -> identical buckets)
+    for q in range(5):
+        assert (q, q) in a
+    # non-trivial recall on random data
+    assert len(e & a) / len(e) > 0.2
+
+
+def test_near_duplicates_cosine(spark, emb):
+    # plant an exact duplicate pair
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    pairs = near_duplicates_cosine(both, dim=64, threshold=0.99).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 10000 for r in pairs)
+
+
+# ---- text stats -------------------------------------------------------------
+
+def test_text_stats_basics(spark):
+    d = make_docs(spark, ["the cat and the hat", "a b c d e f g h", ""])
+    rows = {r["doc_id"]: r for r in text_stats(d).collect()}
+    assert rows[0]["n_tokens"] == 5
+    assert rows[1]["n_tokens"] == 8
+    assert rows[2]["n_tokens"] == 0
+    assert math.isclose(rows[0]["stopword_ratio"], 3 / 5, abs_tol=1e-6)
+    assert math.isclose(rows[1]["mean_word_len"], 1.0, abs_tol=1e-6)
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+
+
+def test_fingerprints_order_sensitive(spark):
+    d = make_docs(spark, ["alpha beta gamma", "gamma beta alpha", "alpha beta gamma"])
+    rows = {r["doc_id"]: r["fingerprint"] for r in fingerprints(d).collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[1]
+
+
+def test_text_stats_on_documents_table(spark, docs):
+    st = text_stats(docs)
+    assert st.count() == docs.count()
+    assert st.filter(F.col("n_tokens") <= 0).count() == 0
+
+
+# ---- multimodal stubs --------------------------------------------------------
+
+def test_multimodal_image_plumbing(spark):
+    assets = synthesize_assets(spark, n=30)
+    feats = decode_image(assets, fake=True, feature_dim=8).collect()
+    assert len(feats) == 10  # ids % 3 == 0
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    # determinism
+    feats2 = decode_image(synthesize_assets(spark, n=30), fake=True, feature_dim=8).collect()
+    assert {r["asset_id"]: r["feature"] for r in feats} == {
+        r["asset_id"]: r["feature"] for r in feats2
+    }
+
+
+def test_multimodal_audio_and_frames(spark):
+    assets = synthesize_assets(spark, n=30)
+    audio = extract_audio_features(assets, fake=True).collect()
+    assert len(audio) == 10 and all(r["rms"] > 0 for r in audio)
+    frames = sample_frames(assets, every_n_bytes=64, fake=True).collect()
+    assert len(frames) == 10 * 4  # 256-byte payloads / 64
+    assert all(len(r["frame"]) == 64 for r in frames)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    assets = synthesize_assets(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        decode_image(assets, fake=False)

@@ -1,0 +1,73 @@
+"""Structured Streaming layer: file-source stream == batch result parity,
+watermarked windowed aggregation, sessionization, event->edge extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mirrorofmapgraph_spark.streaming.events import (
+    event_edges,
+    run_stream_to_memory,
+    sessionize,
+    stream_from_directory,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_windowed_counts_batch(spark, events):
+    out = windowed_event_counts(events).collect()
+    assert len(out) > 0
+    total = sum(r["n_events"] for r in out)
+    assert total == events.count()
+
+
+def test_streaming_matches_batch(spark, events, tmp_path):
+    # copy the events parquet into a stream-source dir
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    stream = stream_from_directory(spark, src)
+    assert stream.isStreaming
+    agg = windowed_event_counts(stream)
+    run_stream_to_memory(agg, "evt_counts", timeout_s=120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from evt_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(events).collect()
+    }
+    assert got == want
+
+
+def test_sessionize(spark, events):
+    sess = sessionize(events, gap_minutes=30)
+    assert sess.count() > 0
+    # session event counts must sum to total events
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    # each user's sessions are disjoint in time by construction; spot-check
+    per_user = sess.groupBy("user_id").count()
+    assert per_user.count() == events.select("user_id").distinct().count()
+
+
+def test_event_edges_feed_gas(spark, events):
+    from mirrorofmapgraph_spark.operators.cc import connected_components
+
+    edges = event_edges(events, window="6 hours")
+    assert edges.filter(F.col("src") >= F.col("dst")).count() == 0
+    res = connected_components(spark, edges)
+    assert res.converged
+    assert res.vertices.count() == (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
