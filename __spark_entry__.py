@@ -1,10 +1,25 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query (PageRank to 1e-6
+convergence on the derived link graph at sf0.001).
+
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent for everything SQL-expressible. Iterative-to-convergence runs
+(pagerank/cc fixpoints) are inherently non-SQL-expressible and get
+rows-only checks; their *semantics* are value-checked both by the
+fixed-iteration variants here (graph_pagerank3/graph_cc3/graph_bfs3/
+graph_sssp3/graph_labelprop2 — exact unrolled SQL oracles) and by the
+pytest numpy oracles (allclose 1e-6 / exact).
+
+The link graph is derived deterministically from `lineitem`:
+  src = l_orderkey % 4000, dst = l_partkey % 4000  (self-loops dropped,
+  distinct), w = (src*7 + dst*13) % 5 + 1 — identical arithmetic in both
+engines, so graph queries are value-comparable.
+
+Float discipline: money aggregates go through DECIMAL(18,6) so sums are
+exact and engine-order-independent, then cast back to double; scores are
+rounded to 6 dp in BOTH engines; ranking always tie-breaks on ids.
 """
 
 from __future__ import annotations
@@ -12,27 +27,954 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from mirrorofmapgraph_spark.functions.hashing import MERSENNE31, perm_params
+from mirrorofmapgraph_spark.functions.text import LANG_MARKERS
+from mirrorofmapgraph_spark.operators.bfs import bfs
+from mirrorofmapgraph_spark.operators.cc import connected_components
+from mirrorofmapgraph_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_bands,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from mirrorofmapgraph_spark.operators.labelprop import label_propagation
+from mirrorofmapgraph_spark.operators.pagerank import pagerank
+from mirrorofmapgraph_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_duplicates_cosine,
+    random_hyperplanes,
+)
+from mirrorofmapgraph_spark.operators.sssp import sssp
+from mirrorofmapgraph_spark.operators.textstats import fingerprints, language_id, text_stats
+from mirrorofmapgraph_spark.operators.triangles import (
+    triangle_count,
+    triangle_count_per_vertex,
+)
+from mirrorofmapgraph_spark.sources.edges import (
+    degree_histogram,
+    out_degrees,
+    vertex_frame,
+)
+
+V = 4000  # vertex-id modulus of the derived link graph
+P = MERSENNE31
+
+
+# --------------------------------------------------------------------------
+# derived link graph (identical arithmetic in Spark and DuckDB)
+# --------------------------------------------------------------------------
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pairs = (
+        li.select(
+            (F.col("l_orderkey") % V).alias("src"),
+            (F.col("l_partkey") % V).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pairs.withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst") * 13) % 5 + 1).cast("double")
+    )
+
+
+EDGES_CTE = f"""
+edges AS (
+  SELECT src, dst, CAST((src*7 + dst*13) % 5 + 1 AS DOUBLE) AS w FROM (
+    SELECT DISTINCT l_orderkey % {V} AS src, l_partkey % {V} AS dst
+    FROM lineitem WHERE l_orderkey % {V} <> l_partkey % {V})
+),
+verts AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+)"""
+
+SYM_CTE = """
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+)"""
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# graph queries
+# --------------------------------------------------------------------------
+
+def q_graph_edges(spark, sf_dir):
+    return _edges(spark, sf_dir)
+
+
+def q_degree_histogram(spark, sf_dir):
+    return degree_histogram(_edges(spark, sf_dir))
+
+
+def q_top_out_degrees(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    deg = out_degrees(_edges(spark, sf_dir))
+    w = Window.orderBy(F.desc("out_deg"), F.asc("id"))
+    return deg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+def q_pagerank3(spark, sf_dir):
+    res = pagerank(
+        spark, _edges(spark, sf_dir), tol=0.0, max_iter=3, collect_metrics=False
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("pr"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    res = pagerank(
+        spark, _edges(spark, sf_dir), tol=1e-6, max_iter=200, collect_metrics=False
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("pr"))
+
+
+def q_cc3(spark, sf_dir):
+    res = connected_components(
+        spark, _edges(spark, sf_dir), max_iter=3, collect_metrics=False
+    )
+    return res.vertices.select("id", "label")
+
+
+def q_cc_converged(spark, sf_dir):
+    res = connected_components(
+        spark, _edges(spark, sf_dir), max_iter=500, collect_metrics=False
+    )
+    return res.vertices.select("id", "label")
+
+
+def q_labelprop2(spark, sf_dir):
+    res = label_propagation(spark, _edges(spark, sf_dir), max_iter=2)
+    return res.vertices.select("id", "label")
+
+
+def q_bfs3(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    src = vertex_frame(e).agg(F.min("id")).collect()[0][0]
+    res = bfs(spark, e, int(src), max_iter=3, collect_metrics=False)
+    return res.vertices.filter(F.col("depth") >= 0).select(
+        "id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def q_sssp3(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    src = vertex_frame(e).agg(F.min("id")).collect()[0][0]
+    res = sssp(spark, e, int(src), max_iter=3, collect_metrics=False)
+    return res.vertices.filter(~F.isnan("dist") & (F.col("dist") != float("inf"))).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    return triangle_count(_edges(spark, sf_dir))
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    return triangle_count_per_vertex(_edges(spark, sf_dir))
+
+
+def q_ingest_link_edges(spark, sf_dir):
+    # synthetic source-code table (no DuckDB view -> rows-only check)
+    from mirrorofmapgraph_spark.sources.codegen import synthesize_repo_table
+    from mirrorofmapgraph_spark.sources.extract import extract_edges
+
+    src_tbl = synthesize_repo_table(spark, n_repos=100, files_per_repo=2)
+    return extract_edges(src_tbl)
+
+
+# oracle SQL builders -------------------------------------------------------
+
+def _pagerank3_sql() -> str:
+    deg = "deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src)"
+    body = [f"WITH {EDGES_CTE.strip()},", deg + ",", "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",r{k} AS (
+  SELECT v.id, 0.15 + 0.85 * COALESCE(s.g, 0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{k-1}.pr / deg.outd) AS g
+    FROM edges e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s USING (id))"""
+        )
+    body.append("SELECT id, ROUND(pr, 6) AS pr FROM r3")
+    return "\n".join(body)
+
+
+def _cc3_sql() -> str:
+    body = [f"WITH {EDGES_CTE.strip()},", SYM_CTE.strip() + ",",
+            "l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",l{k} AS (
+  SELECT l{k-1}.id, LEAST(l{k-1}.label, COALESCE(m.minl, l{k-1}.label)) AS label
+  FROM l{k-1} LEFT JOIN (
+    SELECT s.dst AS id, MIN(l{k-1}.label) AS minl
+    FROM sym s JOIN l{k-1} ON l{k-1}.id = s.src GROUP BY s.dst) m USING (id))"""
+        )
+    body.append("SELECT id, label FROM l3")
+    return "\n".join(body)
+
+
+def _bfs3_sql() -> str:
+    inf = 999999999
+    body = [f"WITH {EDGES_CTE.strip()},",
+            "s0 AS (SELECT MIN(id) AS s FROM verts),",
+            f"d0 AS (SELECT id, CASE WHEN id = (SELECT s FROM s0) THEN 0 ELSE {inf} END AS depth FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",d{k} AS (
+  SELECT d{k-1}.id, LEAST(d{k-1}.depth, COALESCE(m.c, {inf})) AS depth
+  FROM d{k-1} LEFT JOIN (
+    SELECT e.dst AS id, MIN(d{k-1}.depth + 1) AS c
+    FROM edges e JOIN d{k-1} ON d{k-1}.id = e.src GROUP BY e.dst) m USING (id))"""
+        )
+    body.append(f"SELECT id, CAST(depth AS BIGINT) AS depth FROM d3 WHERE depth < {inf}")
+    return "\n".join(body)
+
+
+def _sssp3_sql() -> str:
+    body = [f"WITH {EDGES_CTE.strip()},",
+            "s0 AS (SELECT MIN(id) AS s FROM verts),",
+            "d0 AS (SELECT id, CASE WHEN id = (SELECT s FROM s0) THEN CAST(0 AS DOUBLE) ELSE CAST('inf' AS DOUBLE) END AS dist FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",d{k} AS (
+  SELECT d{k-1}.id, LEAST(d{k-1}.dist, COALESCE(m.c, CAST('inf' AS DOUBLE))) AS dist
+  FROM d{k-1} LEFT JOIN (
+    SELECT e.dst AS id, MIN(d{k-1}.dist + e.w) AS c
+    FROM edges e JOIN d{k-1} ON d{k-1}.id = e.src GROUP BY e.dst) m USING (id))"""
+        )
+    body.append("SELECT id, ROUND(dist, 6) AS dist FROM d3 WHERE isfinite(dist)")
+    return "\n".join(body)
+
+
+def _labelprop2_sql() -> str:
+    step = """,l{K} AS (
+  SELECT l{P}.id, COALESCE(m.best, l{P}.label) AS label
+  FROM l{P} LEFT JOIN (
+    SELECT id, nbr_label AS best FROM (
+      SELECT s.dst AS id, l{P}.label AS nbr_label, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY s.dst ORDER BY COUNT(*) DESC, l{P}.label ASC) AS rn
+      FROM sym s JOIN l{P} ON l{P}.id = s.src
+      GROUP BY s.dst, l{P}.label)
+    WHERE rn = 1) m USING (id))"""
+    body = [f"WITH {EDGES_CTE.strip()},", SYM_CTE.strip() + ",",
+            "l0 AS (SELECT id, id AS label FROM verts)"]
+    for k in range(1, 3):
+        body.append(step.format(K=k, P=k - 1))
+    body.append("SELECT id, label FROM l2")
+    return "\n".join(body)
+
+
+TRIANGLE_SQL = f"""WITH {EDGES_CTE.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges WHERE src <> dst)
+SELECT COUNT(*) AS n_triangles
+FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+TRIANGLES_PER_VERTEX_SQL = f"""WITH {EDGES_CTE.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges WHERE src <> dst),
+tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM und e1 JOIN und e2 ON e1.b = e2.a JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT id, COUNT(*) AS n_triangles FROM (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+GROUP BY id"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style relational queries (DECIMAL-exact money sums)
+# --------------------------------------------------------------------------
+
+def _dec(col: F.Column) -> F.Column:
+    return col.cast("decimal(18,6)")
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(disc)).cast("double").alias("sum_disc_price"),
+            F.sum(_dec(charge)).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec(F.col("l_discount"))).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .filter((F.col("o_orderdate") < "1996-06-01") & (F.col("l_shipdate") > "1996-06-01"))
+    )
+    from pyspark.sql.window import Window
+
+    agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_dec(rev)).cast("double").alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+TPCH_Q3_SQL = """
+SELECT * FROM (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) DESC, o_orderkey ASC) AS rk
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1996-06-01' AND l_shipdate > TIMESTAMP '1996-06-01'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+WHERE rk <= 10"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        region.filter(F.col("r_name") == "ASIA")
+        .join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec(rev)).cast("double").alias("revenue")
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+
+def q_orders_top_per_priority(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+ORDERS_TOP_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders) WHERE rk <= 3"""
+
+
+# --------------------------------------------------------------------------
+# events
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    from mirrorofmapgraph_spark.streaming.events import sessionize
+
+    out = sessionize(_events(spark, sf_dir), gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+seq AS (
+  SELECT user_id, ts, value,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM seq GROUP BY user_id, session_seq"""
+
+
+def q_events_cooccurrence(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    act = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("win"), "user_id"
+    ).dropDuplicates(["win", "user_id"])
+    a = act.select("win", F.col("user_id").alias("src"))
+    b = act.select("win", F.col("user_id").alias("dst"))
+    return (
+        a.join(b, on="win")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_windows"))
+    )
+
+
+EVENTS_COOCCURRENCE_SQL = """
+WITH act AS (SELECT DISTINCT date_trunc('hour', ts) AS win, user_id FROM events)
+SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS n_windows
+FROM act a JOIN act b ON a.win = b.win AND a.user_id < b.user_id
+GROUP BY 1, 2"""
+
+
+# --------------------------------------------------------------------------
+# documents: dedup + text analysis (portable arithmetic in both engines)
+# --------------------------------------------------------------------------
+
+# SQL fragments mirroring functions/text.py + functions/hashing.py exactly
+SQL_TOKENS = r"list_filter(string_split_regex({x}, '\s+'), t -> len(t) > 0)"
+SQL_TOKEN_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({t}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {P})"
+)
+
+
+def q_docs_exact_dup_groups(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+DOCS_EXACT_DUP_SQL = """
+SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1"""
+
+
+def q_docs_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _text_stats_sql() -> str:
+    toks = SQL_TOKENS.format(x="text")
+    stop = "('the','and','of','to','a','in','is','it')"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents
+),
+feat AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS mwl,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(list_transform(toks, t -> lower(t)), t -> t IN {stop})) AS DOUBLE) / len(toks)
+         ELSE 0.0 END AS stop_r,
+    CASE WHEN len(text) > 0
+         THEN CAST(len(text) - len(regexp_replace(text, '[^\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE) / len(text)
+         ELSE 0.0 END AS punct_r
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+  ROUND(mwl, 6) AS mean_word_len,
+  ROUND(stop_r, 6) AS stopword_ratio,
+  ROUND(punct_r, 6) AS punct_ratio,
+  ROUND((LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END
+       + LEAST(stop_r * 4.0, 1.0)
+       + (1.0 - LEAST(punct_r * 2.0, 1.0))) / 4.0, 6) AS quality
+FROM feat"""
+
+
+def q_docs_lang_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    toks = SQL_TOKENS.format(x="lower(text)")
+    score_exprs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ",".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_{lang}"
+        )
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
+scores AS (SELECT doc_id, {', '.join(score_exprs)} FROM base)
+SELECT doc_id,
+  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM scores"""
+
+
+def q_docs_fingerprints(spark, sf_dir):
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _fingerprints_sql() -> str:
+    toks = SQL_TOKENS.format(x="lower(text)")
+    th = SQL_TOKEN_HASH.format(t="t")
+    return f"""
+WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> {th})),
+              (a, b) -> (a * 1000003 + b) % {P}) AS fingerprint
+FROM base"""
+
+
+MINHASH_NPERM = 16
+MINHASH_BANDS = 4
+MINHASH_NGRAM = 2
+
+
+def q_docs_minhash_bands(spark, sf_dir):
+    return minhash_bands(
+        _docs(spark, sf_dir),
+        num_perm=MINHASH_NPERM,
+        bands=MINHASH_BANDS,
+        ngram=MINHASH_NGRAM,
+        seed=1,
+    ).select(F.col("id").alias("doc_id"), "band", "bucket")
+
+
+def _minhash_cte() -> str:
+    """CTE producing (doc_id, s0..s15) minhash signature columns."""
+    toks = SQL_TOKENS.format(x="lower(text)")
+    th = SQL_TOKEN_HASH.format(t="g")
+    n = MINHASH_NGRAM
+    sig_cols = []
+    for j, (a, b) in enumerate(perm_params(MINHASH_NPERM, 1)):
+        sig_cols.append(
+            f"COALESCE(list_min(list_transform(shingles, h -> ({a} * h + {b}) % {P})), {P}) AS s{j}"
+        )
+    return f"""
+toksrc AS (SELECT doc_id, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(0, len(toks) - {n} + 1), i -> array_to_string(toks[i+1:i+{n}], ' '))
+    END AS ngrams
+  FROM toksrc),
+shingled AS (
+  SELECT doc_id, list_distinct(list_transform(ngrams, g -> {th})) AS shingles FROM grams),
+sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM shingled)"""
+
+
+def _band_bucket_expr(band: int) -> str:
+    r = MINHASH_NPERM // MINHASH_BANDS
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(band * r, (band + 1) * r):
+        expr = f"(({expr}) * 1000003 + s{j}) % {P}"
+    return expr
+
+
+def _minhash_bands_sql() -> str:
+    per_band = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b)} AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"WITH {_minhash_cte().strip()}\n{per_band}"
+
+
+def q_docs_minhash_pairs(spark, sf_dir):
+    return minhash_candidates(
+        _docs(spark, sf_dir),
+        num_perm=MINHASH_NPERM,
+        bands=MINHASH_BANDS,
+        ngram=MINHASH_NGRAM,
+        seed=1,
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(MINHASH_NPERM)
+    )
+    buckets = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b)} AS bucket FROM sig"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""WITH {_minhash_cte().strip()},
+banded AS ({buckets}),
+cand AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared_bands
+  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, c.n_shared_bands,
+  ROUND(CAST(({matches}) AS DOUBLE) / {MINHASH_NPERM}, 6) AS est_jaccard
+FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b"""
+
+
+def q_docs_simhash(spark, sf_dir):
+    return simhash_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_sql() -> str:
+    toks = SQL_TOKENS.format(x="lower(text)")
+    th = SQL_TOKEN_HASH.format(t="t")
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS c{k}" for k in range(32)
+    )
+    final = " + ".join(
+        f"CASE WHEN c{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END" for k in range(32)
+    )
+    return f"""
+WITH base AS (SELECT doc_id, list_distinct(list_transform({toks}, t -> {th})) AS hs FROM documents),
+ex AS (SELECT doc_id, UNNEST(hs) AS h FROM base),
+bits AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+SELECT doc_id, {final} AS simhash FROM bits"""
+
+
+def q_docs_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), ngram=3, threshold=0.2, block_cols=("lang",)
+    )
+
+
+def _ngram_jaccard_sql() -> str:
+    toks = SQL_TOKENS.format(x="lower(text)")
+    th = SQL_TOKEN_HASH.format(t="g")
+    n = 3
+    return f"""
+WITH toksrc AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, lang,
+    CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(0, len(toks) - {n} + 1), i -> array_to_string(toks[i+1:i+{n}], ' '))
+    END AS ngrams
+  FROM toksrc),
+sh AS (SELECT doc_id, lang, list_distinct(list_transform(ngrams, g -> {th})) AS shingles FROM grams),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM pairs WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= 0.2"""
+
+
+# --------------------------------------------------------------------------
+# embeddings: ANN / near-dup
+# --------------------------------------------------------------------------
+
+EMB_DIM = 64
+LSH_PLANES = 8
+LSH_BANDS = 4
+NEARDUP_PLANES = 16
+NEARDUP_BANDS = 8
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_emb_knn_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+KNN_BF_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+    list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))) AS score
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+def _planes_sql(num_planes: int, seed: int) -> list[str]:
+    return [
+        "[" + ", ".join(repr(v) for v in p) + "]"
+        for p in random_hyperplanes(EMB_DIM, num_planes, seed)
+    ]
+
+
+def _lsh_buckets_cte(table_expr: str, num_planes: int, bands: int, seed: int) -> str:
+    """CTE body computing (.., band, bucket) rows for each input row."""
+    planes = _planes_sql(num_planes, seed)
+    bit_exprs = [
+        f"CASE WHEN list_dot_product(v, {p}) >= 0 THEN 1 ELSE 0 END" for p in planes
+    ]
+    r = num_planes // bands
+    per_band = []
+    for b in range(bands):
+        expr = "0"
+        for k in range(b * r, (b + 1) * r):
+            expr = f"({expr}) * 2 + ({bit_exprs[k]})"
+        per_band.append(f"SELECT vec_id, v, {b} AS band, {expr} AS bucket FROM {table_expr}")
+    return " UNION ALL ".join(per_band)
+
+
+def q_emb_knn_lsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(
+        emb, queries, k=10, dim=EMB_DIM, num_planes=LSH_PLANES, bands=LSH_BANDS, seed=7
+    )
+
+
+def _knn_lsh_sql() -> str:
+    base = "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    buckets = _lsh_buckets_cte("base", LSH_PLANES, LSH_BANDS, 7)
+    return f"""
+WITH {base},
+cb AS ({buckets}),
+qb AS (SELECT vec_id AS query_id, v AS qv, band, bucket FROM cb WHERE vec_id < 5),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id, cb.v, qb.qv
+  FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket),
+scored AS (
+  SELECT query_id, vec_id,
+    list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS score
+  FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    return near_duplicates_cosine(
+        _emb(spark, sf_dir),
+        dim=EMB_DIM,
+        threshold=NEARDUP_THRESHOLD,
+        num_planes=NEARDUP_PLANES,
+        bands=NEARDUP_BANDS,
+        seed=7,
+    )
+
+
+def _neardup_sql() -> str:
+    base = "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    buckets = _lsh_buckets_cte("base", NEARDUP_PLANES, NEARDUP_BANDS, 7)
+    return f"""
+WITH {base},
+bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+    ROUND(list_dot_product(va, vb) / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))), 6) AS score
+  FROM cand)
+SELECT id_a, id_b, score FROM scored WHERE score >= {NEARDUP_THRESHOLD}"""
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank to 1e-6 convergence on the derived link graph."""
+    return q_pagerank_converged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph build + stats
+        "graph_edges": q_graph_edges,
+        "graph_degree_histogram": q_degree_histogram,
+        "graph_top_out_degrees": q_top_out_degrees,
+        # GAS algorithms, fixed-iteration (exact SQL oracles)
+        "graph_pagerank3": q_pagerank3,
+        "graph_cc3": q_cc3,
+        "graph_labelprop2": q_labelprop2,
+        "graph_bfs3": q_bfs3,
+        "graph_sssp3": q_sssp3,
+        # GAS algorithms, run to convergence (iterative -> rows-only)
+        "graph_pagerank_converged": q_pagerank_converged,
+        "graph_cc_converged": q_cc_converged,
+        # one-shot graph dataflow
+        "graph_triangle_count": q_triangle_count,
+        "graph_triangles_per_vertex": q_triangles_per_vertex,
+        # ingest (synthetic source table -> pandas-UDF extraction)
+        "ingest_link_edges": q_ingest_link_edges,
+        # relational / TPC-H-ish
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "tpch_q3_shipping_priority": q_tpch_q3,
+        "tpch_q5_local_supplier_volume": q_tpch_q5,
+        "tpch_q6_forecast_revenue": q_tpch_q6,
+        "orders_top_per_priority": q_orders_top_per_priority,
+        # events / streaming-shaped
+        "events_hourly_by_type": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_cooccurrence_edges": q_events_cooccurrence,
+        # documents: dedup + text analysis
+        "docs_exact_dup_groups": q_docs_exact_dup_groups,
+        "docs_text_stats": q_docs_text_stats,
+        "docs_lang_id": q_docs_lang_id,
+        "docs_fingerprints": q_docs_fingerprints,
+        "docs_minhash_bands": q_docs_minhash_bands,
+        "docs_minhash_pairs": q_docs_minhash_pairs,
+        "docs_simhash": q_docs_simhash,
+        "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        # embeddings: similarity search
+        "emb_knn_bruteforce": q_emb_knn_bruteforce,
+        "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_neardup_pairs": q_emb_neardup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "graph_edges": f"WITH {EDGES_CTE.strip()} SELECT src, dst, w FROM edges",
+        "graph_degree_histogram": f"""WITH {EDGES_CTE.strip()}
+SELECT CAST(ceil(log2(cnt)) AS INT) AS log2_deg, COUNT(*) AS n_vertices
+FROM (SELECT src, COUNT(*) AS cnt FROM edges GROUP BY src) GROUP BY 1""",
+        "graph_top_out_degrees": f"""WITH {EDGES_CTE.strip()}
+SELECT id, out_deg, rk FROM (
+  SELECT src AS id, COUNT(*) AS out_deg,
+    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, src ASC) AS rk
+  FROM edges GROUP BY src) WHERE rk <= 20""",
+        "graph_pagerank3": _pagerank3_sql(),
+        "graph_cc3": _cc3_sql(),
+        "graph_labelprop2": _labelprop2_sql(),
+        "graph_bfs3": _bfs3_sql(),
+        "graph_sssp3": _sssp3_sql(),
+        "graph_triangle_count": TRIANGLE_SQL,
+        "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,
+        "tpch_q1_pricing_summary": TPCH_Q1_SQL,
+        "tpch_q3_shipping_priority": TPCH_Q3_SQL,
+        "tpch_q5_local_supplier_volume": TPCH_Q5_SQL,
+        "tpch_q6_forecast_revenue": TPCH_Q6_SQL,
+        "orders_top_per_priority": ORDERS_TOP_SQL,
+        "events_hourly_by_type": EVENTS_HOURLY_SQL,
+        "events_sessionize": EVENTS_SESSIONIZE_SQL,
+        "events_cooccurrence_edges": EVENTS_COOCCURRENCE_SQL,
+        "docs_exact_dup_groups": DOCS_EXACT_DUP_SQL,
+        "docs_text_stats": _text_stats_sql(),
+        "docs_lang_id": _lang_id_sql(),
+        "docs_fingerprints": _fingerprints_sql(),
+        "docs_minhash_bands": _minhash_bands_sql(),
+        "docs_minhash_pairs": _minhash_pairs_sql(),
+        "docs_simhash": _simhash_sql(),
+        "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "emb_knn_bruteforce": KNN_BF_SQL,
+        "emb_knn_lsh": _knn_lsh_sql(),
+        "emb_neardup_pairs": _neardup_sql(),
+    }

