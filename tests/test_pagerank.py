@@ -99,6 +99,28 @@ def test_multi_pathologies(spark, make_edges, make_vertices):
     assert math.isclose(got[9], 0.5, abs_tol=1e-9)  # isolated: base rank
 
 
+def test_superstep_wall_flat(spark, make_edges, make_vertices):
+    """Regression for round-1's exponential Catalyst-stats blowup.
+
+    localCheckpoint used to inherit the optimized plan's statistics; joins
+    multiply children's sizeInBytes, so the estimate squared every superstep
+    and by ~step 20 the driver burned minutes per step in BigInteger
+    arithmetic (0.8s -> 80s/step on this exact 5-vertex fixture). With the
+    stats cut (GASEngine._cut) per-step wall must stay flat through ~30
+    partial-frontier supersteps.
+    """
+    res, _ = run_and_compare(
+        spark, make_edges, make_vertices, TRIVIAL, TRIVIAL_N, max_iter=200, damping=0.6
+    )
+    walls = [m.wall_ms for m in res.metrics]
+    assert len(walls) >= 20, f"expected >=20 supersteps, got {len(walls)}"
+    early = sorted(walls[2:10])[3]  # median-ish of steps 3..10
+    late = max(walls[-5:])
+    # pre-fix the late/early ratio was >100x; allow generous CI jitter
+    assert late < 5 * early + 1000, f"superstep wall grew: early~{early:.0f}ms late={late:.0f}ms"
+    assert late < 5000, f"late superstep took {late:.0f}ms"
+
+
 def test_metrics_recorded(spark, make_edges, make_vertices):
     res, _ = run_and_compare(spark, make_edges, make_vertices, SMALL, SMALL_N)
     assert len(res.metrics) == res.supersteps
