@@ -128,8 +128,13 @@ def q_top_out_degrees(spark, sf_dir):
     from pyspark.sql.window import Window
 
     deg = out_degrees(_edges(spark, sf_dir))
-    w = Window.orderBy(F.desc("out_deg"), F.asc("id"))
-    return deg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    # Distributed partial top-k (TakeOrderedAndProject) instead of a global
+    # window over the whole frame (which moves ALL rows to one partition);
+    # the row_number runs on the 20 surviving rows only. partitionBy(lit(1))
+    # keeps the plan warning-free.
+    top = deg.orderBy(F.desc("out_deg"), F.asc("id")).limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("out_deg"), F.asc("id"))
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def q_pagerank3(spark, sf_dir):
@@ -354,8 +359,10 @@ def q_tpch_q3(spark, sf_dir):
     agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_dec(rev)).cast("double").alias("revenue")
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+    # top-10 via distributed TakeOrderedAndProject, then rank the 10 rows
+    top = agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 TPCH_Q3_SQL = """
@@ -512,25 +519,31 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM seq GROUP BY user_id, session_seq"""
 
 
+COOCCURRENCE_CAP = 1000
+
+
 def q_events_cooccurrence(spark, sf_dir):
-    ev = _events(spark, sf_dir)
-    act = ev.select(
-        F.date_trunc("hour", F.col("ts")).alias("win"), "user_id"
-    ).dropDuplicates(["win", "user_id"])
-    a = act.select("win", F.col("user_id").alias("src"))
-    b = act.select("win", F.col("user_id").alias("dst"))
-    return (
-        a.join(b, on="win")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("n_windows"))
+    from mirrorofmapgraph_spark.streaming.events import event_edges
+
+    out = event_edges(
+        _events(spark, sf_dir), window="1 hour",
+        max_users_per_window=COOCCURRENCE_CAP,
     )
+    return out.select("src", "dst", F.col("w").cast("long").alias("n_windows"))
 
 
-EVENTS_COOCCURRENCE_SQL = """
-WITH act AS (SELECT DISTINCT date_trunc('hour', ts) AS win, user_id FROM events)
+EVENTS_COOCCURRENCE_SQL = f"""
+WITH act AS (
+  SELECT date_trunc('hour', ts) AS win, user_id, COUNT(*) AS n_ev
+  FROM events GROUP BY 1, 2),
+kept AS (
+  SELECT win, user_id FROM (
+    SELECT win, user_id,
+      ROW_NUMBER() OVER (PARTITION BY win ORDER BY n_ev DESC, user_id ASC) AS rk
+    FROM act)
+  WHERE rk <= {COOCCURRENCE_CAP})
 SELECT a.user_id AS src, b.user_id AS dst, COUNT(*) AS n_windows
-FROM act a JOIN act b ON a.win = b.win AND a.user_id < b.user_id
+FROM kept a JOIN kept b ON a.win = b.win AND a.user_id < b.user_id
 GROUP BY 1, 2"""
 
 
@@ -637,6 +650,7 @@ FROM base"""
 MINHASH_NPERM = 16
 MINHASH_BANDS = 4
 MINHASH_NGRAM = 2
+MINHASH_MAX_BUCKET = 64
 
 
 def q_docs_minhash_bands(spark, sf_dir):
@@ -695,10 +709,13 @@ def q_docs_minhash_pairs(spark, sf_dir):
         bands=MINHASH_BANDS,
         ngram=MINHASH_NGRAM,
         seed=1,
+        max_bucket=MINHASH_MAX_BUCKET,
     )
 
 
 def _minhash_pairs_sql() -> str:
+    # mirrors operators/dedup.py minhash_candidates incl. the hot-bucket
+    # star fallback: buckets > MAX emit (min_id -> member) instead of the clique
     matches = " + ".join(
         f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(MINHASH_NPERM)
     )
@@ -706,11 +723,20 @@ def _minhash_pairs_sql() -> str:
         f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b)} AS bucket FROM sig"
         for b in range(MINHASH_BANDS)
     )
+    cap = MINHASH_MAX_BUCKET
     return f"""WITH {_minhash_cte().strip()},
 banded AS ({buckets}),
+stats AS (SELECT band, bucket, COUNT(*) AS n, MIN(doc_id) AS rep FROM banded GROUP BY 1, 2),
+sized AS (SELECT banded.*, stats.n, stats.rep FROM banded JOIN stats USING (band, bucket)),
+clique AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.n <= {cap}),
+star AS (
+  SELECT rep AS id_a, doc_id AS id_b FROM sized WHERE n > {cap} AND doc_id != rep),
 cand AS (
-  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared_bands
-  FROM banded x JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  SELECT id_a, id_b, COUNT(*) AS n_shared_bands
+  FROM (SELECT * FROM clique UNION ALL SELECT * FROM star)
   GROUP BY 1, 2)
 SELECT c.id_a, c.id_b, c.n_shared_bands,
   ROUND(CAST(({matches}) AS DOUBLE) / {MINHASH_NPERM}, 6) AS est_jaccard
@@ -739,7 +765,53 @@ bits AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
 SELECT doc_id, {final} AS simhash FROM bits"""
 
 
+# 32-bit simhash: hamming <= 2 is the near-dup band (the classic 64-bit
+# Manku et al. setting is <= 3 of 64; 2/32 is the same bit-error rate).
+SIMHASH_MAX_HAMMING = 2
+SIMHASH_MAX_BUCKET = 256
+
+
+def q_docs_simhash_pairs(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _docs(spark, sf_dir),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    # mirrors operators/dedup.py simhash_near_duplicates: byte-band
+    # blocking over the 32-bit fingerprint + star fallback + exact hamming
+    sim = _simhash_sql().strip()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bucket FROM fp"
+        for b in range(4)
+    )
+    ham = " + ".join(f"((xor(a.simhash, b.simhash) >> {k}) & 1)" for k in range(32))
+    cap = SIMHASH_MAX_BUCKET
+    return f"""
+WITH fp AS ({sim}),
+banded AS ({bands}),
+stats AS (SELECT band, bucket, COUNT(*) AS n, MIN(doc_id) AS rep FROM banded GROUP BY 1, 2),
+sized AS (SELECT banded.*, stats.n, stats.rep FROM banded JOIN stats USING (band, bucket)),
+clique AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.n <= {cap}),
+star AS (
+  SELECT rep AS id_a, doc_id AS id_b FROM sized WHERE n > {cap} AND doc_id != rep),
+cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM clique UNION ALL SELECT * FROM star))
+SELECT c.id_a, c.id_b, CAST(({ham}) AS INT) AS hamming
+FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
+WHERE ({ham}) <= {SIMHASH_MAX_HAMMING}"""
+
+
 def q_docs_ngram_jaccard(spark, sf_dir):
+    # size_blocking=True adds lossless log-ratio length blocking on top of
+    # the lang block; the oracle SQL needs no mirror because the final pair
+    # set is provably identical to the unblocked join (see operator doc).
     return ngram_jaccard_pairs(
         _docs(spark, sf_dir), ngram=3, threshold=0.2, block_cols=("lang",)
     )
@@ -772,11 +844,20 @@ FROM pairs WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= 0.2"""
 # --------------------------------------------------------------------------
 
 EMB_DIM = 64
-LSH_PLANES = 8
+# ANN: 6 bits/band x 4 bands — a random candidate survives with prob
+# ~1-(1-2^-6)^4 ~= 6% (16x pruning) while clustered true neighbors at
+# cosine >= 0.9 are recalled w.p. >= 0.99 (recall test on planted
+# clusters in tests/test_pipeline_ops.py). Round-1's 2 bits/band made
+# candidates ~ the whole corpus (slower than brute force).
+LSH_PLANES = 24
 LSH_BANDS = 4
-NEARDUP_PLANES = 16
-NEARDUP_BANDS = 8
-NEARDUP_THRESHOLD = 0.35
+# near-dup: 8 bits/band x 16 bands — recall ~0.94 at cosine 0.8,
+# ~6% of random pairs collide. Threshold 0.85 = true near-duplicate
+# semantics; the synthetic test embeddings have no such pairs (max
+# pairwise cosine ~0.51), so an empty result here is the correct answer.
+NEARDUP_PLANES = 128
+NEARDUP_BANDS = 16
+NEARDUP_THRESHOLD = 0.85
 
 
 def q_emb_knn_bruteforce(spark, sf_dir):
@@ -858,9 +939,21 @@ SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+NEARDUP_PLANT_OFFSET = 1_000_000
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
+    # The synthetic embeddings are near-random (max pairwise cosine ~0.51),
+    # so a 0.85-threshold near-dup scan of the raw table is correctly
+    # empty. To make the driver row exercise the full find-path, the query
+    # unions a planted exact duplicate of every vector (vec_id + offset);
+    # the operator must recover exactly those (i, i+offset, 1.0) pairs.
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + F.lit(NEARDUP_PLANT_OFFSET)).alias("vec_id"), "embedding"
+    )
     return near_duplicates_cosine(
-        _emb(spark, sf_dir),
+        emb.unionByName(planted),
         dim=EMB_DIM,
         threshold=NEARDUP_THRESHOLD,
         num_planes=NEARDUP_PLANES,
@@ -870,7 +963,10 @@ def q_emb_neardup_pairs(spark, sf_dir):
 
 
 def _neardup_sql() -> str:
-    base = "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    base = (
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        f" UNION ALL SELECT vec_id + {NEARDUP_PLANT_OFFSET}, CAST(embedding AS DOUBLE[]) FROM embeddings)"
+    )
     buckets = _lsh_buckets_cte("base", NEARDUP_PLANES, NEARDUP_BANDS, 7)
     return f"""
 WITH {base},
@@ -932,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_bands": q_docs_minhash_bands,
         "docs_minhash_pairs": q_docs_minhash_pairs,
         "docs_simhash": q_docs_simhash,
+        "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         # embeddings: similarity search
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
@@ -973,6 +1070,7 @@ SELECT id, out_deg, rk FROM (
         "docs_minhash_bands": _minhash_bands_sql(),
         "docs_minhash_pairs": _minhash_pairs_sql(),
         "docs_simhash": _simhash_sql(),
+        "docs_simhash_pairs": _simhash_pairs_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "emb_knn_bruteforce": KNN_BF_SQL,
         "emb_knn_lsh": _knn_lsh_sql(),

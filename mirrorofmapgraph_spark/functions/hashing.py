@@ -86,13 +86,11 @@ def simhash32(token_hashes: Column) -> Column:
 
 
 def hamming32(x: Column, y: Column) -> Column:
-    """Hamming distance between two 32-bit ints stored as long."""
-    z = x.bitwiseXOR(y)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0),
-        lambda acc, k: acc + F.shiftright(z, k).bitwiseAND(F.lit(1)).cast("int"),
-    )
+    """Hamming distance between two 32-bit ints stored as long (JVM-side
+    popcount of the XOR; the DuckDB oracle mirrors it as an explicit
+    32-term shift-and-mask sum — identical for non-negative 32-bit
+    values)."""
+    return F.bit_count(x.bitwiseXOR(y)).cast("int")
 
 
 def rolling_fingerprint(token_hashes: Column) -> Column:

@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MERSENNE31, minhash_signature, perm_params, simhash32, token_hash
+from ..functions.hashing import (
+    MERSENNE31,
+    hamming32,
+    minhash_signature,
+    perm_params,
+    simhash32,
+    token_hash,
+)
 from ..functions.text import tokens, word_ngrams
 
 
@@ -106,30 +113,53 @@ def minhash_candidates(
     bands: int = 8,
     ngram: int = 3,
     seed: int = 1,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, n_shared_bands, est_jaccard).
 
     Pairs sharing >= 1 band bucket; est_jaccard = fraction of matching
     signature slots.
+
+    Hot-bucket guard (the 100 TB safety valve): a bucket of b docs emits
+    b*(b-1)/2 pairs — one bucket of 1M boilerplate-identical docs would be
+    5*10^11 pairs. Buckets larger than ``max_bucket`` therefore emit a STAR
+    (min-id representative -> every other member, b-1 pairs) instead of the
+    clique. For dedup connectivity this is lossless — union-find over the
+    star yields the same connected groups — while the join cost per bucket
+    drops from quadratic to linear. est_jaccard stays exact per emitted
+    pair (computed from the full signatures, not the bucket).
     """
     banded = minhash_bands(
         docs, text_col, id_col, num_perm=num_perm, bands=bands, ngram=ngram, seed=seed
     )
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    keyed = banded.select("id", "band", "bucket")
+    stats = keyed.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.min("id").alias("_rep")
     )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    sized = keyed.join(stats, on=["band", "bucket"])
+    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
+    clique = (
+        small.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
+              on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = (
+        sized.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
     )
     pairs = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        clique.unionByName(star)
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count("*").alias("n_shared_bands"),
-            F.first("sig_a").alias("sig_a"),
-            F.first("sig_b").alias("sig_b"),
-        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    sig = banded.select("id", "sig").dropDuplicates(["id"])
+    pairs = (
+        pairs.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+                   on="id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+              on="id_b")
     )
     matching = F.size(
         F.filter(
@@ -155,6 +185,69 @@ def simhash_fingerprints(
     return docs.select(F.col(id_col).alias("id"), simhash32(toks).alias("simhash"))
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming <= max_hamming).
+
+    Blocking by the 4 bytes of the 32-bit fingerprint (pigeonhole: a pair
+    within hamming distance 3 differs in at most 3 bytes, so it shares at
+    least one byte-band bucket — no candidate with hamming <= 3 is missed
+    as long as its buckets stay under ``max_bucket``). Oversized buckets
+    fall back to a min-id star, bounding the per-bucket join linearly (same
+    guard as minhash_candidates; documented recall trade on pathological
+    buckets). Exact hamming verification on every candidate.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    bb = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bucket"),
+            )
+            for b in range(4)
+        ])
+    )
+    banded = fp.select("id", "simhash", bb.alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    keyed = banded.select("id", "band", "bucket")
+    stats = keyed.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.min("id").alias("_rep")
+    )
+    sized = keyed.join(stats, on=["band", "bucket"])
+    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
+    clique = (
+        small.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
+              on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    star = (
+        sized.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
+        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    cand = clique.unionByName(star).dropDuplicates(["id_a", "id_b"])
+    sig = fp.select("id", "simhash")
+    cand = (
+        cand.join(sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")),
+                  on="id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")),
+              on="id_b")
+    )
+    return (
+        cand.withColumn("hamming", hamming32(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -163,32 +256,103 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = (),
-    length_bucket: int = 0,
+    size_blocking: bool = True,
+    salt: int = 16,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold within blocks.
 
-    Blocking: optional equality columns (e.g. lang) plus an optional
-    length bucket (floor(n_tokens / length_bucket)). Within-block pairs
-    only — the scale guard.
+    Blocking: optional equality columns (e.g. lang) plus LOSSLESS size
+    blocking (on by default). Jaccard(A, B) >= t implies
+    |A| / |B| <= 1/t, so docs are bucketed by floor(log_{1/t} |shingles|)
+    and each doc is emitted into its own bucket and the next one: any pair
+    within ratio 1/t lands in a shared bucket (bucket width is exactly one
+    factor of 1/t), pairs outside the ratio cannot pass the threshold, and
+    the exact Jaccard verify filters the extra candidates — the final pair
+    set is identical to the unblocked join, but each block's quadratic
+    cost is bounded by the size-band population instead of the corpus.
+
+    Skew guard: block keys are low-cardinality (a handful of langs x a few
+    size bands), so the pair evaluation would serialize onto a few
+    reducers. ``salt > 1`` replicate-salts the join (left keyed by
+    hash(id) % salt, right replicated salt times), spreading each hot
+    block over ``salt`` reducers at the cost of a bounded salt-times
+    fan-out of one side — same exact result.
     """
-    d = shingle_hashes(docs, text_col, ngram).select(
+    d0 = shingle_hashes(docs, text_col, ngram).select(
         F.col(id_col).alias("id"), *block_cols, "shingles"
     )
-    if length_bucket:
-        d = d.withColumn("_lb", F.floor(F.size("shingles") / F.lit(length_bucket)))
-    keys = list(block_cols) + (["_lb"] if length_bucket else [])
-    left = d.select(
-        *keys, F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    right = d.select(
-        *keys, F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    pairs = (
-        (left.join(right, on=keys) if keys else left.crossJoin(right))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    keys = list(block_cols)
+    if size_blocking and 0.0 < threshold < 1.0:
+        # Each doc lands in its own bucket tagged "self" (0) and the next
+        # bucket tagged "up" (1); joining on the bucket while excluding
+        # up-up matches yields EXACTLY ONE candidate row per within-ratio
+        # pair (same bucket -> self-self; adjacent buckets -> up-self), so
+        # no dedup shuffle of shingle-carrying rows is needed.
+        base = 1.0 / threshold
+        lb0 = F.floor(
+            F.log(base, F.greatest(F.size("shingles"), F.lit(1)).cast("double"))
+        ).cast("long")
+        d = d0.withColumn(
+            "_bt",
+            F.explode(
+                F.array(
+                    F.struct(lb0.alias("lb"), F.lit(0).alias("tag")),
+                    F.struct((lb0 + F.lit(1)).alias("lb"), F.lit(1).alias("tag")),
+                )
+            ),
+        ).select("id", *block_cols, "shingles", F.col("_bt.lb").alias("_lb"),
+                 F.col("_bt.tag").alias("_tag"))
+        keys = keys + ["_lb"]
+        left = d.select(*keys, F.col("_tag").alias("_tag_a"),
+                        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        right = d.select(*keys, F.col("_tag").alias("_tag_b"),
+                         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        if salt > 1:
+            left = left.withColumn(
+                "_salt", F.pmod(F.xxhash64("id_a"), F.lit(salt)).cast("int")
+            )
+            right = right.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            keys = keys + ["_salt"]
+            # force a shuffled join: under a broadcast join the salt would
+            # only bloat the build side (replicated rows carry the shingle
+            # arrays) while the whole quadratic verify runs on however few
+            # input splits the probe side has; a shuffle-hash join spreads
+            # the verify over (blocks x salt) reducers
+            right = right.hint("shuffle_hash")
+        # every within-ratio pair matches in exactly one bucket per
+        # orientation (same bucket: self-self; adjacent: up-self), so
+        # excluding up-up matches and keeping id_a < id_b yields exactly
+        # one row per pair — no dedup shuffle
+        pairs = (
+            left.join(right, on=keys)
+            .filter(~((F.col("_tag_a") == 1) & (F.col("_tag_b") == 1)))
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("_tag_a", "_tag_b")
+        )
+    else:
+        left = d0.select(*keys, F.col("id").alias("id_a"),
+                         F.col("shingles").alias("sh_a"))
+        right = d0.select(*keys, F.col("id").alias("id_b"),
+                          F.col("shingles").alias("sh_b"))
+        if keys and salt > 1:
+            left = left.withColumn(
+                "_salt", F.pmod(F.xxhash64("id_a"), F.lit(salt)).cast("int")
+            )
+            right = right.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+            )
+            keys = keys + ["_salt"]
+            right = right.hint("shuffle_hash")
+        pairs = (
+            (left.join(right, on=keys) if keys else left.crossJoin(right))
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
+    # arrays are distinct-element sets, so |A ∪ B| = |A| + |B| - |A ∩ B|
+    # (one array pass instead of two)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
         F.lit(0.0)
     )

@@ -74,13 +74,28 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def event_edges(events: DataFrame, *, window: str = "1 hour") -> DataFrame:
+def event_edges(
+    events: DataFrame, *, window: str = "1 hour", max_users_per_window: int = 1000
+) -> DataFrame:
     """Incremental graph feed: co-occurrence edges between users active in
-    the same window (bounded per-window self-join — streaming-safe with a
-    watermark upstream). Returns (src, dst, w=co-occurrence count)."""
-    act = events.select(
-        F.window("ts", window).alias("win"), F.col("user_id")
-    ).dropDuplicates(["win", "user_id"])
+    the same window. Returns (src, dst, w=co-occurrence count).
+
+    Scale bound: the per-window self-join is quadratic in window activity
+    (one hour with 1M active users = 5*10^11 pairs), so each window keeps
+    only its ``max_users_per_window`` MOST ACTIVE users (event count desc,
+    user_id asc tiebreak — deterministic); the rest are dropped from that
+    window's clique. Cost is bounded by windows * cap^2 regardless of
+    corpus size. The ranking window is partitioned by `win`, so no global
+    single-partition sort."""
+    act = events.select(F.window("ts", window).alias("win"), "user_id").groupBy(
+        "win", "user_id"
+    ).agg(F.count("*").alias("_n_ev"))
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("win").orderBy(F.desc("_n_ev"), F.asc("user_id"))
+    )
+    act = act.withColumn("_rk", rk).filter(F.col("_rk") <= max_users_per_window)
     a = act.select("win", F.col("user_id").alias("src"))
     b = act.select("win", F.col("user_id").alias("dst"))
     return (

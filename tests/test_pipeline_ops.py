@@ -92,6 +92,28 @@ def test_minhash_est_matches_true_jaccard_roughly(spark):
     assert abs(est - true_j) < 0.25
 
 
+def test_minhash_hot_bucket_star(spark):
+    """1000 identical short docs collapse into one bucket per band; the
+    star fallback must emit b-1 pairs per band (grouped -> 999 pairs
+    total), not the 499,500-pair clique."""
+    d = make_docs(spark, ["spam spam spam ham"] * 1000)
+    pairs = minhash_candidates(d, num_perm=16, bands=4, ngram=2, max_bucket=64)
+    rows = pairs.collect()
+    assert len(rows) == 999  # star: rep(0) -> each other doc, once
+    assert all(r["id_a"] == 0 for r in rows)
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
+    # connectivity for dedup grouping is preserved: every doc reachable
+    ids = {r["id_b"] for r in rows}
+    assert ids == set(range(1, 1000))
+
+
+def test_minhash_star_threshold_boundary(spark):
+    """At or under max_bucket the full clique is emitted."""
+    d = make_docs(spark, ["spam spam spam ham"] * 10)
+    rows = minhash_candidates(d, num_perm=16, bands=4, ngram=2, max_bucket=10).collect()
+    assert len(rows) == 45  # full clique of 10 identical docs
+
+
 # ---- simhash ---------------------------------------------------------------
 
 def test_simhash_deterministic_and_similar(spark):
@@ -101,6 +123,38 @@ def test_simhash_deterministic_and_similar(spark):
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
     assert 0 <= rows[0] < (1 << 32)
+
+
+def test_simhash_near_duplicates_pairs(spark):
+    """Byte-band blocked simhash pairs: identical docs at hamming 0, a
+    one-word edit within the band, unrelated text excluded."""
+    from mirrorofmapgraph_spark.operators.dedup import simhash_near_duplicates
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = make_docs(
+        spark,
+        [
+            base,
+            base,  # exact dup -> hamming 0
+            base.replace("kappa", "lambda"),  # near dup
+            "utterly different content with other words entirely now",
+        ],
+    )
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_near_duplicates(d, max_hamming=8).collect()}
+    assert rows[(0, 1)] == 0
+    assert (0, 2) in rows and rows[(0, 2)] <= 8
+    assert not any(3 in p for p in rows)
+
+
+def test_simhash_pairs_hot_bucket_star(spark):
+    """Oversized byte-band buckets fall back to the min-id star."""
+    from mirrorofmapgraph_spark.operators.dedup import simhash_near_duplicates
+
+    d = make_docs(spark, ["same text every time here"] * 500)
+    rows = simhash_near_duplicates(d, max_hamming=0, max_bucket=64).collect()
+    assert len(rows) == 499
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
 
 
 # ---- ngram jaccard ---------------------------------------------------------
@@ -127,6 +181,34 @@ def test_ngram_jaccard_blocking(spark, docs):
         F.col("la") != F.col("lb")
     )
     assert bad.count() == 0
+
+
+def test_ngram_size_blocking_lossless(spark, docs):
+    """The log-ratio size blocking (on by default) must not change the
+    final pair set vs the unblocked join — Jaccard >= t bounds the size
+    ratio by 1/t, and double emission covers the bucket boundary."""
+    blocked = ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, size_blocking=True)
+    full = ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, size_blocking=False)
+    b = {(r["id_a"], r["id_b"], r["jaccard"]) for r in blocked.collect()}
+    f = {(r["id_a"], r["id_b"], r["jaccard"]) for r in full.collect()}
+    assert b == f
+
+
+def test_ngram_size_blocking_lossless_mixed_lengths(spark):
+    """Docs straddling a log-ratio bucket boundary are still paired."""
+    texts = [
+        "w1 w2 w3 w4 w5",                       # 4 2-gram shingles
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17",  # 16
+        "w1 w2 w3 w4 w5 w6 w7",                 # 6
+        "a1 a2 a3",
+    ]
+    d = make_docs(spark, texts)
+    blocked = ngram_jaccard_pairs(d, ngram=2, threshold=0.25, size_blocking=True)
+    full = ngram_jaccard_pairs(d, ngram=2, threshold=0.25, size_blocking=False)
+    assert (
+        {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+        == {(r["id_a"], r["id_b"]) for r in full.collect()}
+    )
 
 
 # ---- token hash portability -------------------------------------------------
@@ -181,6 +263,70 @@ def test_lsh_topk_recall(spark, emb):
     assert len(e & a) / len(e) > 0.2
 
 
+def _planted_clusters(spark, n_clusters=20, per_cluster=10, dim=64, noise=0.02, seed=42):
+    """Clustered corpus where pairwise within-cluster cosine is ~0.97
+    (noise vector norm ~0.16 vs unit centroid) — the regime ANN is
+    actually used in (embedding near-dup / retrieval)."""
+    rng = np.random.RandomState(seed)
+    cents = rng.randn(n_clusters, dim)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = cents[c] + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_lsh_planted_cluster_recall_and_pruning(spark):
+    """On clustered data (within-cluster cosine >= ~0.9) the default
+    24-plane/4-band LSH must reach recall >= 0.9 vs exact top-5 AND
+    actually prune: the candidate set stays under 35% of the corpus."""
+    from mirrorofmapgraph_spark.operators.similarity import simhash_buckets
+
+    emb = _planted_clusters(spark)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, dim=64, num_planes=24, bands=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+    # pruning: distinct (query, candidate) pairs << full scan
+    cb = simhash_buckets(emb, dim=64, num_planes=24, bands=4)
+    qb = simhash_buckets(
+        queries.withColumnRenamed("query_id", "vec_id"), dim=64, num_planes=24, bands=4
+    )
+    n_q = queries.count()
+    cand = (
+        cb.select(F.col("vec_id").alias("c"), "band", "bucket")
+        .join(qb.select(F.col("vec_id").alias("q"), "band", "bucket"), ["band", "bucket"])
+        .select("q", "c").distinct().count()
+    )
+    frac = cand / (n * n_q)
+    assert frac < 0.35, f"candidate fraction {frac:.3f} — LSH is not pruning"
+
+
+def test_neardup_planted_recall(spark):
+    """near_duplicates_cosine defaults (128 planes / 16 bands, t=0.85)
+    recover >= 90% of planted exact-duplicate pairs."""
+    emb = _planted_clusters(spark, n_clusters=10, per_cluster=6, noise=0.05)
+    dup = emb.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label")
+    both = emb.unionByName(dup)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in near_duplicates_cosine(both, dim=64, threshold=0.99).collect()
+    }
+    n = emb.count()
+    found = sum((i, i + 10_000) in pairs for i in range(n))
+    assert found / n >= 0.9, f"planted-dup recall {found / n:.2f}"
+
+
 def test_near_duplicates_cosine(spark, emb):
     # plant an exact duplicate pair
     dup = emb.filter(F.col("vec_id") == 0).select(
@@ -202,6 +348,21 @@ def test_text_stats_basics(spark):
     assert math.isclose(rows[0]["stopword_ratio"], 3 / 5, abs_tol=1e-6)
     assert math.isclose(rows[1]["mean_word_len"], 1.0, abs_tol=1e-6)
     assert 0.0 <= rows[0]["quality"] <= 1.0
+
+
+def test_quality_filter(spark):
+    from mirrorofmapgraph_spark.operators.textstats import quality_filter
+
+    d = make_docs(
+        spark,
+        [
+            "the cat sat on the mat and then the dog came along to play outside today",
+            "!!! ??? ... !!!",  # punct garbage
+            "ok",  # too short
+        ],
+    )
+    kept = [r["doc_id"] for r in quality_filter(d, min_quality=0.3, min_tokens=8).collect()]
+    assert kept == [0]
 
 
 def test_fingerprints_order_sensitive(spark):

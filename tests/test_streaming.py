@@ -58,6 +58,29 @@ def test_sessionize(spark, events):
     assert per_user.count() == events.select("user_id").distinct().count()
 
 
+def test_event_edges_activity_cap(spark):
+    """The per-window cap keeps only the most-active users (count desc,
+    id asc) so one hot window cannot go quadratic in corpus size."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # users 0..9 in one window; user u emits u+1 events (user 9 most active)
+    for u in range(10):
+        for _ in range(u + 1):
+            rows.append((eid, base, u, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    edges = event_edges(ev, window="1 hour", max_users_per_window=4).collect()
+    # top-4 active users = 9,8,7,6 -> C(4,2)=6 pairs among them only
+    assert len(edges) == 6
+    kept = {u for r in edges for u in (r["src"], r["dst"])}
+    assert kept == {6, 7, 8, 9}
+
+
 def test_event_edges_feed_gas(spark, events):
     from mirrorofmapgraph_spark.operators.cc import connected_components
 
