@@ -188,6 +188,37 @@ def q_sssp3(spark, sf_dir):
     )
 
 
+# deterministic multi-source seed set (reference runs randomized source
+# batches, bfs.cu:340-397; fixed arithmetic keeps the oracle comparable).
+# Ids not present in the graph are ignored by both engines.
+BFS_MULTI_SOURCES = [(i * 499 + 7) % V for i in range(8)]
+
+
+def q_bfs_multi3(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    res = bfs(spark, e, BFS_MULTI_SOURCES, max_iter=3, collect_metrics=False)
+    return res.vertices.filter(F.col("depth") >= 0).select(
+        "id", F.col("depth").cast("long").alias("depth")
+    )
+
+
+def _bfs_multi3_sql() -> str:
+    inf = 999999999
+    srcs = ", ".join(str(s) for s in BFS_MULTI_SOURCES)
+    body = [f"WITH {EDGES_CTE.strip()},",
+            f"d0 AS (SELECT id, CASE WHEN id IN ({srcs}) THEN 0 ELSE {inf} END AS depth FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",d{k} AS (
+  SELECT d{k-1}.id, LEAST(d{k-1}.depth, COALESCE(m.c, {inf})) AS depth
+  FROM d{k-1} LEFT JOIN (
+    SELECT e.dst AS id, MIN(d{k-1}.depth + 1) AS c
+    FROM edges e JOIN d{k-1} ON d{k-1}.id = e.src GROUP BY e.dst) m USING (id))"""
+        )
+    body.append(f"SELECT id, CAST(depth AS BIGINT) AS depth FROM d3 WHERE depth < {inf}")
+    return "\n".join(body)
+
+
 def q_triangle_count(spark, sf_dir):
     return triangle_count(_edges(spark, sf_dir))
 
@@ -860,16 +891,22 @@ NEARDUP_BANDS = 16
 NEARDUP_THRESHOLD = 0.85
 
 
+# 200 query vectors: with a handful of queries both paths are pure fixed
+# overhead and a full scan trivially wins; 200 queries x 2000 corpus rows
+# at sf0.1 is the smallest shape where candidate pruning is measurable.
+KNN_N_QUERIES = 200
+
+
 def q_emb_knn_bruteforce(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return brute_force_topk(emb, queries, k=10)
 
 
 KNN_BF_SQL = """
-WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 200),
 scored AS (
   SELECT q.query_id, e.vec_id,
     list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
@@ -909,7 +946,7 @@ def _lsh_buckets_cte(table_expr: str, num_planes: int, bands: int, seed: int) ->
 
 def q_emb_knn_lsh(spark, sf_dir):
     emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(
@@ -923,7 +960,7 @@ def _knn_lsh_sql() -> str:
     return f"""
 WITH {base},
 cb AS ({buckets}),
-qb AS (SELECT vec_id AS query_id, v AS qv, band, bucket FROM cb WHERE vec_id < 5),
+qb AS (SELECT vec_id AS query_id, v AS qv, band, bucket FROM cb WHERE vec_id < 200),
 cand AS (
   SELECT DISTINCT qb.query_id, cb.vec_id, cb.v, qb.qv
   FROM cb JOIN qb ON cb.band = qb.band AND cb.bucket = qb.bucket),
@@ -1001,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cc3": q_cc3,
         "graph_labelprop2": q_labelprop2,
         "graph_bfs3": q_bfs3,
+        "graph_bfs_multi3": q_bfs_multi3,
         "graph_sssp3": q_sssp3,
         # GAS algorithms, run to convergence (iterative -> rows-only)
         "graph_pagerank_converged": q_pagerank_converged,
@@ -1052,6 +1090,7 @@ SELECT id, out_deg, rk FROM (
         "graph_cc3": _cc3_sql(),
         "graph_labelprop2": _labelprop2_sql(),
         "graph_bfs3": _bfs3_sql(),
+        "graph_bfs_multi3": _bfs_multi3_sql(),
         "graph_sssp3": _sssp3_sql(),
         "graph_triangle_count": TRIANGLE_SQL,
         "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,

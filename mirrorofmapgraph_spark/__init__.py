@@ -8,7 +8,7 @@ Re-expresses the query/data-processing capabilities of the reference
   aggregations (plans/gas.py), with per-superstep checkpointing,
   convergence readback, and per-partition lineage metrics.
 - Algorithms      -> operators/{pagerank,cc,labelprop,triangles,bfs,sssp}.py
-- Ingest          -> sources/{codegen,extract,edges,ids,mtx}.py: synthetic
+- Ingest          -> sources/{codegen,extract,edges,ids,mtx,rmat}.py: synthetic
   source-code repo table -> vectorized pandas-UDF link extraction ->
   dictionary-encoded dense-id edge table.
 - Pipeline ops    -> operators/{dedup,similarity,textstats,multimodal}.py

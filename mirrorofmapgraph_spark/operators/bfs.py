@@ -40,24 +40,53 @@ def bfs_program() -> GASProgram:
 def bfs(
     spark: SparkSession,
     edges: DataFrame,
-    source: int,
+    source: int | list[int],
     *,
     vertices: DataFrame | None = None,
     max_iter: int = 10_000,
     engine: GASEngine | None = None,
     **engine_kwargs,
 ) -> GASResult:
-    """result.vertices = (id, depth); depth = -1 for unreached (bfs.h:69)."""
+    """result.vertices = (id, depth); depth = -1 for unreached (bfs.h:69).
+
+    ``source`` may be a single vertex id (reference semantics,
+    bfs.h:128-131) or a list of ids — multi-source BFS: depth = distance
+    to the NEAREST source (all sources start at depth 0 in the initial
+    frontier; the reference's multi-source harness instead runs 100 random
+    single sources sequentially, bfs.cu:340-397 — that harness is
+    random_sources() + a loop, exercised in tests/test_graph_algos.py).
+    Source ids not present in the graph are ignored.
+    """
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
     if vertices is None:
         vertices = vertex_frame(edges)
+    sources = [int(source)] if isinstance(source, int) else [int(s) for s in source]
     v0 = vertices.select(
         "id",
-        F.when(F.col("id") == source, F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
+        F.when(F.col("id").isin(sources), F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
     )
-    frontier0 = vertices.filter(F.col("id") == source).select("id")
+    frontier0 = vertices.filter(F.col("id").isin(sources)).select("id")
     return engine.run(bfs_program(), v0, frontier0, max_iter=max_iter)
+
+
+def random_sources(
+    edges: DataFrame, n: int, seed: int = 1, *, require_out_edges: bool = True
+) -> list[int]:
+    """Deterministic pseudo-random non-isolated source picker — the
+    analogue of the reference's RANDOMIZED_SOURCE loop (bfs.cu:340-397,
+    which retries until the source has outgoing edges). Ranks candidate
+    vertices by a seeded hash and takes the first n with out-edges; one
+    distributed top-n job, no driver-side retry loop."""
+    cand = edges.select(F.col("src").alias("id")).distinct() if require_out_edges \
+        else vertex_frame(edges)
+    rows = (
+        cand.withColumn("_r", F.xxhash64(F.col("id"), F.lit(seed)))
+        .orderBy("_r")
+        .limit(n)
+        .collect()
+    )
+    return [int(r["id"]) for r in rows]
 
 
 def pred_extract(result_vertices: DataFrame, edges: DataFrame) -> DataFrame:

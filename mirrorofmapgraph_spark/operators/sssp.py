@@ -39,21 +39,25 @@ def sssp_program() -> GASProgram:
 def sssp(
     spark: SparkSession,
     edges: DataFrame,
-    source: int,
+    source: int | list[int],
     *,
     vertices: DataFrame | None = None,
     max_iter: int = 10_000,
     engine: GASEngine | None = None,
     **engine_kwargs,
 ) -> GASResult:
-    """result.vertices = (id, dist); dist = +inf when unreached."""
+    """result.vertices = (id, dist); dist = +inf when unreached.
+
+    ``source`` may be one id or a list (multi-source: dist to the nearest
+    source; absent ids are ignored) — see bfs.bfs for the semantics."""
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
     if vertices is None:
         vertices = vertex_frame(edges)
+    sources = [int(source)] if isinstance(source, int) else [int(s) for s in source]
     v0 = vertices.select(
         "id",
-        F.when(F.col("id") == source, F.lit(0.0)).otherwise(F.lit(_INF)).alias("dist"),
+        F.when(F.col("id").isin(sources), F.lit(0.0)).otherwise(F.lit(_INF)).alias("dist"),
     )
-    frontier0 = vertices.filter(F.col("id") == source).select("id")
+    frontier0 = vertices.filter(F.col("id").isin(sources)).select("id")
     return engine.run(sssp_program(), v0, frontier0, max_iter=max_iter)

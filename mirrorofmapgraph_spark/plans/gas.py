@@ -50,7 +50,7 @@ import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -380,29 +380,26 @@ class GASEngine:
             # the previous state/frontier several times each, so WITHOUT a
             # hard truncation the logical plan grows exponentially across
             # supersteps (measured: 4 supersteps -> 60s of pure planning).
+            # changed/traversed readback rides the checkpoint materialization
+            # itself via df.observe (CollectMetrics fires when the eager
+            # localCheckpoint executes) — ZERO extra jobs per superstep; the
+            # readback feeds metrics and unlocks the changed==ALL expand
+            # fast path. collect_metrics is kept for API stability but the
+            # instrumentation is now free either way.
+            obs = Observation()
+            applied = applied.observe(
+                obs,
+                F.sum(F.col("_changed").cast("long")).alias("ch"),
+                F.sum("_msg_cnt").alias("tr"),
+            )
             # the lineage+stats cut is the reference's reset_gather/
             # double-buffer analogue (csr_problem.cuh:180-183).
             applied = self._cut(applied)
             vertices = applied.drop("_changed", "_msg_cnt")
-            # changed-count readback — feeds metrics and unlocks the
-            # changed==ALL expand fast path. Gated on collect_metrics: when
-            # metrics are off, the pull-mode fast path only needs a boolean
-            # "did every vertex change", answered by an early-exiting
-            # isEmpty probe on the cached frame instead of a full agg job.
-            traversed = changed_n = 0
-            if self.collect_metrics:
-                row = applied.agg(
-                    F.sum("_msg_cnt").alias("tr"),
-                    F.sum(F.col("_changed").cast("long")).alias("ch"),
-                ).collect()[0]
-                traversed = int(row["tr"] or 0)
-                changed_n = int(row["ch"] or 0)
-                all_changed = changed_n >= self._n_vertices
-            elif program.mode == "pull":
-                all_changed = applied.where(~F.col("_changed")).isEmpty()
-            else:
-                all_changed = False
-            if program.mode == "pull" and all_changed:
+            row = obs.get  # already fired by the eager checkpoint
+            changed_n = int(row["ch"] or 0)
+            traversed = int(row["tr"] or 0)
+            if program.mode == "pull" and changed_n >= self._n_vertices:
                 # every vertex changed -> next frontier is the constant set
                 # of vertices with >= 1 in-edge; skip the edge-sized expand
                 # shuffle entirely (dominant regime for all-vertex programs

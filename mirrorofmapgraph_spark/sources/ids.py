@@ -26,12 +26,22 @@ def assign_dense_ids(
     """Map each distinct ``key_col`` value to a dense long id in
     [0, n) ordered by key. Returns DataFrame(key_col, id_col).
     """
-    distinct = keys.select(key_col).distinct()
-    if num_partitions:
-        distinct = distinct.repartitionByRange(num_partitions, key_col)
-    else:
-        distinct = distinct.repartitionByRange(key_col)
-    distinct = distinct.sortWithinPartitions(key_col)
+    spark = keys.sparkSession
+    if num_partitions is None:
+        # explicit count so AQE cannot re-plan a different partitioning
+        # between the offsets job and the assignment job
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    distinct = (
+        keys.select(key_col)
+        .distinct()
+        .repartitionByRange(num_partitions, key_col)
+        .sortWithinPartitions(key_col)
+        # materialize ONCE: repartitionByRange samples range boundaries per
+        # RDD instantiation, so without pinning, the offsets job and the
+        # mapInPandas job could each sample different boundaries and the
+        # pid->offset map would silently mis-assign ids
+        .localCheckpoint(eager=True)
+    )
 
     # Per-partition row counts -> exclusive prefix offsets (tiny; collected
     # to the driver — the analogue of the reference's 4-byte frontier-size
@@ -49,7 +59,6 @@ def assign_dense_ids(
         offsets[pid] = acc
         acc += sizes[pid]
 
-    spark = keys.sparkSession
     b_offsets = spark.sparkContext.broadcast(offsets)
     out_schema = f"{key_col} string, {id_col} long"
 

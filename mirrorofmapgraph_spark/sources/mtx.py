@@ -14,33 +14,70 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_head(spark: SparkSession, path: str) -> tuple[str | None, str | None]:
+    """Driver-side read of the banner + size line (a few KB via the Hadoop
+    FileSystem API, so any scheme Spark can read works). This is the only
+    order-dependent part of the file, and reading it directly avoids the
+    trap of inferring 'first line' from Spark scan partitions — Spark packs
+    file splits sorted by size, so the textual first line is NOT guaranteed
+    to be in partition 0 of a multi-block read."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(jpath)))
+    banner = size_line = None
+    try:
+        while True:
+            line = br.readLine()
+            if line is None:
+                break
+            t = line.strip()
+            if not t:
+                continue
+            if t.startswith("%"):
+                if banner is None and t.startswith("%%MatrixMarket"):
+                    banner = t
+                continue
+            size_line = t
+            break
+    finally:
+        br.close()
+    return banner, size_line
+
+
 def read_mtx(spark: SparkSession, path: str, symmetric: bool | None = None) -> DataFrame:
     """Returns edges(src long, dst long, w double), 0-based.
 
-    ``symmetric=None`` autodetects from the %%MatrixMarket header line.
+    ``path`` is a single .mtx file. ``symmetric=None`` autodetects from
+    the %%MatrixMarket banner. The 'rows cols nnz' size line is identified
+    by its exact text from a driver-side head read (order-robust for
+    multi-block files); in the astronomically unlikely case a weighted
+    edge line is byte-identical to the size line, the surplus matching
+    lines are re-added so exactly one copy is dropped.
     """
-    lines = spark.read.text(path)
+    banner, size_line = _read_head(spark, path)
     if symmetric is None:
-        header = lines.filter(F.col("value").startswith("%%MatrixMarket")).first()
-        symmetric = header is not None and "symmetric" in header["value"]
+        symmetric = banner is not None and "symmetric" in banner
+    lines = spark.read.text(path)
     data = lines.filter(
         ~F.col("value").startswith("%") & (F.length(F.trim("value")) > 0)
-    )
-    parts = data.select(F.split(F.trim("value"), r"\s+").alias("p"))
-    # first surviving line is the "rows cols nnz" size line: drop rows where
-    # the parsed edge would reference vertex 0 is not reliable — instead drop
-    # the one line equal to the size header by counting columns is ambiguous;
-    # we identify it as the first line via a filter on a zipped index.
-    indexed = parts.withColumn("_idx", F.monotonically_increasing_id())
-    first_idx = indexed.agg(F.min("_idx")).collect()[0][0]
-    body = indexed.filter(F.col("_idx") != first_idx)
-    edges = body.select(
-        (F.element_at("p", 1).cast("long") - 1).alias("src"),
-        (F.element_at("p", 2).cast("long") - 1).alias("dst"),
-        F.when(F.size("p") >= 3, F.element_at("p", 3).cast("double"))
-        .otherwise(F.lit(1.0))
-        .alias("w"),
-    )
+    ).select(F.trim("value").alias("value"))
+
+    def parse(df: DataFrame) -> DataFrame:
+        p = F.split(F.col("value"), r"\s+")
+        return df.select(
+            (F.element_at(p, 1).cast("long") - 1).alias("src"),
+            (F.element_at(p, 2).cast("long") - 1).alias("dst"),
+            F.when(F.size(p) >= 3, F.element_at(p, 3).cast("double"))
+            .otherwise(F.lit(1.0))
+            .alias("w"),
+        )
+
+    edges = parse(data.filter(F.col("value") != F.lit(size_line)))
+    matching = data.filter(F.col("value") == F.lit(size_line))
+    n_matching = matching.count()
+    if n_matching > 1:  # size-line text collided with real edge lines
+        edges = edges.unionByName(parse(matching.limit(n_matching - 1)))
     if symmetric:
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"

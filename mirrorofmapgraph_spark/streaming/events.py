@@ -74,6 +74,34 @@ def sessionize(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def sessionize_native(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — the
+    Structured-Streaming-capable formulation (state store + watermark
+    handle late data incrementally; in batch it is equivalent grouping).
+    Output: (user_id, session_start, n_events, sum_value).
+
+    Note the session identity differs from ``sessionize`` (window struct
+    vs running sequence number) but the session PARTITIONING of events is
+    identical — asserted in tests by comparing (user, session_start,
+    n_events, sum_value) sets."""
+    src = events
+    if src.isStreaming and dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def event_edges(
     events: DataFrame, *, window: str = "1 hour", max_users_per_window: int = 1000
 ) -> DataFrame:

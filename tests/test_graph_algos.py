@@ -151,3 +151,118 @@ def test_triangles_ches(spark, make_edges):
 
 def test_triangles_random(spark, make_edges):
     check_triangles(spark, make_edges, random_graph(n=60, m=500, seed=13), 60)
+
+
+# ---- multi-source + random-source harness (reference bfs.cu:340-397) -------
+
+def test_bfs_random_sources_harness(spark, make_edges, make_vertices):
+    """Reference parity: 20 seeded random non-isolated sources, each BFS
+    validated against the sequential numpy oracle (bfs.cu:340-397 runs 100
+    random sources per graph; 20 keeps CI wall-time sane)."""
+    from mirrorofmapgraph_spark.operators.bfs import random_sources
+    from mirrorofmapgraph_spark.plans.gas import GASEngine
+
+    n = 60
+    edges = random_graph(n=n, m=240, seed=9)
+    e = canonicalize(make_edges(edges))
+    engine = GASEngine(spark, e, collect_metrics=False)
+    srcs = random_sources(e, 20, seed=3)
+    assert len(srcs) == 20 and len(set(srcs)) == 20
+    py_edges = sorted({(s, d) for s, d, _ in edges})
+    for src in srcs:
+        want = bfs_ref(n, [(s, d, 1.0) for s, d in py_edges], src)
+        res = bfs(spark, e, src, vertices=make_vertices(n), engine=engine)
+        got = {r["id"]: r["depth"] for r in res.vertices.collect()}
+        for v in range(n):
+            assert got[v] == want[v], f"src={src} vertex={v}: {got[v]} != {want[v]}"
+    engine.unpersist()
+
+
+def test_bfs_multi_source(spark, make_edges, make_vertices):
+    """Multi-source BFS = min depth over sources; absent ids ignored."""
+    edges = random_graph(n=50, m=150, seed=11)
+    e = canonicalize(make_edges(edges))
+    sources = [0, 7, 23, 9999]  # 9999 not in the graph
+    res = bfs(spark, e, sources, vertices=make_vertices(50))
+    got = {r["id"]: r["depth"] for r in res.vertices.collect()}
+    per_src = [bfs_ref(50, edges, s) for s in [0, 7, 23]]
+    for v in range(50):
+        reach = [d[v] for d in per_src if d[v] >= 0]
+        want = min(reach) if reach else -1
+        assert got[v] == want, f"vertex {v}: {got[v]} != {want}"
+
+
+def test_sssp_multi_source(spark, make_edges, make_vertices):
+    edges = random_graph(n=50, m=200, seed=13)
+    e = canonicalize(make_edges(edges))
+    dedup = {}
+    for s, d, w in edges:
+        dedup[(s, d)] = min(w, dedup.get((s, d), w))
+    py_edges = [(s, d, w) for (s, d), w in sorted(dedup.items())]
+    sources = [1, 31]
+    res = sssp(spark, e, sources, vertices=make_vertices(50))
+    got = {r["id"]: r["dist"] for r in res.vertices.collect()}
+    per_src = [sssp_ref(50, py_edges, s) for s in sources]
+    for v in range(50):
+        want = min(d[v] for d in per_src)
+        assert math.isclose(got[v], want) or (got[v] == want), (
+            f"vertex {v}: {got[v]} != {want}"
+        )
+
+
+# ---- RMAT skew fixture + salted gather --------------------------------------
+
+def test_rmat_deterministic_across_parallelism(spark):
+    from mirrorofmapgraph_spark.sources.rmat import rmat_edges
+
+    a = rmat_edges(spark, scale=8, edge_factor=4, num_partitions=2)
+    b = rmat_edges(spark, scale=8, edge_factor=4, num_partitions=16)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_rmat_is_skewed(spark):
+    """RMAT(0.45,.15,.15) must produce a hub-heavy degree distribution:
+    max out-degree orders of magnitude above the mean."""
+    from mirrorofmapgraph_spark.sources.edges import out_degrees
+    from mirrorofmapgraph_spark.sources.rmat import rmat_edges
+    from pyspark.sql import functions as F
+
+    # Graph500 parameters (a=0.57): the unperturbed reference defaults
+    # (a=0.45) only develop strong hubs at much larger scales
+    e = rmat_edges(spark, scale=12, edge_factor=8, a=0.57, b=0.19, c=0.19)
+    deg = out_degrees(e).agg(
+        F.max("out_deg").alias("mx"), F.avg("out_deg").alias("avg")
+    ).collect()[0]
+    assert deg["mx"] > 20 * deg["avg"], f"max {deg['mx']} vs avg {deg['avg']:.1f}"
+
+
+def test_salted_gather_correct_on_hub(spark):
+    """1-hub star graph (worst-case reduce skew): salted two-level gather
+    must produce bit-identical PageRank to the unsalted path."""
+    from mirrorofmapgraph_spark.operators.pagerank import pagerank
+    from mirrorofmapgraph_spark.sources.edges import hub_vertices
+    from mirrorofmapgraph_spark.sources.rmat import star_edges
+
+    e = star_edges(spark, spokes=50_000)
+    # hub detection surfaces the salting candidate
+    hubs = [(r["id"], r["in_deg"]) for r in hub_vertices(e, min_degree=10_000).collect()]
+    assert hubs == [(0, 50_000)]
+    plain = pagerank(spark, e, tol=0.0, max_iter=2, salt_buckets=0,
+                     collect_metrics=False)
+    salted = pagerank(spark, e, tol=0.0, max_iter=2, salt_buckets=8,
+                      collect_metrics=False)
+    hub_plain = plain.vertices.filter("id = 0").collect()[0]["rank"]
+    hub_salted = salted.vertices.filter("id = 0").collect()[0]["rank"]
+    # two-level aggregation sums in a different order -> equal within
+    # float tolerance (the BASELINE allclose bar is 1e-6)
+    assert math.isclose(hub_plain, hub_salted, rel_tol=0, abs_tol=1e-6)
+    # hub absorbed all 50k spokes' rank: 0.15 + 0.85 * 50000 * 0.15
+    assert math.isclose(hub_plain, 0.15 + 0.85 * 50_000 * 0.15, rel_tol=1e-9)
+    diff = (
+        plain.vertices.withColumnRenamed("rank", "r1")
+        .join(salted.vertices.withColumnRenamed("rank", "r2"), "id")
+        .filter("abs(r1 - r2) > 1e-6")
+        .count()
+    )
+    assert diff == 0

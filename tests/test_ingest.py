@@ -77,3 +77,52 @@ def test_build_link_graph_end_to_end(spark):
     assert sorted((r["src"], r["dst"]) for r in edges.collect()) == sorted(
         (r["src"], r["dst"]) for r in edges2.collect()
     )
+
+
+def test_read_mtx_roundtrip_small(spark):
+    """tests/data/small.mtx mirrors the reference's smallRegressionGraphs
+    small.mtx (FIXTURES.md F2a); reader must produce exactly the SMALL
+    fixture edges, 0-based, with weights (market.cuh:43-167 semantics)."""
+    import os
+
+    from mirrorofmapgraph_spark.sources.mtx import read_mtx
+
+    path = os.path.join(os.path.dirname(__file__), "data", "small.mtx")
+    got = {(r["src"], r["dst"], r["w"]) for r in read_mtx(spark, path).collect()}
+    assert got == set(SMALL)
+    assert len(got) == 11
+
+
+def test_read_mtx_symmetric_pattern(spark):
+    """pattern+symmetric banner: weight defaults to 1.0 and the reverse
+    edge is materialized (market.cuh:116, 131-139)."""
+    import os
+
+    from mirrorofmapgraph_spark.sources.mtx import read_mtx
+
+    path = os.path.join(os.path.dirname(__file__), "data", "trivial_sym.mtx")
+    got = {(r["src"], r["dst"]) for r in read_mtx(spark, path).collect()}
+    fwd = {(1, 0), (2, 1), (3, 2), (4, 3)}
+    assert got == fwd | {(b, a) for a, b in fwd}
+    w = {r["w"] for r in read_mtx(spark, path).collect()}
+    assert w == {1.0}
+
+
+def test_read_mtx_feeds_pagerank(spark):
+    """End-to-end: .mtx -> GAS PageRank matches the numpy oracle (the
+    reference's regression flow over smallRegressionGraphs)."""
+    import math
+    import os
+
+    from oracles import pagerank_ref
+
+    from mirrorofmapgraph_spark.operators.pagerank import pagerank
+    from mirrorofmapgraph_spark.sources.mtx import read_mtx
+
+    path = os.path.join(os.path.dirname(__file__), "data", "small.mtx")
+    edges = read_mtx(spark, path)
+    res = pagerank(spark, edges, tol=1e-6, max_iter=100)
+    expected, _ = pagerank_ref(SMALL_N, sorted(SMALL), tol=1e-6, max_iter=100)
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    for v in range(SMALL_N):
+        assert math.isclose(got[v], expected[v], rel_tol=0, abs_tol=1e-6)

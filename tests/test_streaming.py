@@ -58,6 +58,21 @@ def test_sessionize(spark, events):
     assert per_user.count() == events.select("user_id").distinct().count()
 
 
+def test_sessionize_native_matches_lag_formulation(spark, events):
+    """session_window grouping must split sessions exactly like the
+    lag+cumsum formulation (same gap): compare the full
+    (user, session_start, n_events, sum_value) multiset."""
+    from mirrorofmapgraph_spark.streaming.events import sessionize, sessionize_native
+
+    a = sessionize(events, gap_minutes=30).select(
+        "user_id", "session_start", "n_events", "sum_value"
+    )
+    b = sessionize_native(events, gap_minutes=30)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
 def test_event_edges_activity_cap(spark):
     """The per-window cap keeps only the most-active users (count desc,
     id asc) so one hot window cannot go quadratic in corpus size."""
