@@ -85,6 +85,12 @@ class GASProgram:
     #: push mode: optional emit predicate evaluated on the message frame
     #: (expand_edge's conditional emit, sssp.h:342-358).
     message_filter: Callable[[DataFrame], Column] | None = None
+    #: pull mode only: which edges a vertex gathers over — "in" (default:
+    #: v aggregates its in-neighbors' state, GATHER_IN_EDGES) or "out"
+    #: (v aggregates its out-neighbors' state, GATHER_OUT_EDGES). The
+    #: reference's gatherOverEdges policy selector (csr_problem.cuh:68-91);
+    #: ALL_EDGES composes as symmetrize() upstream.
+    gather_dir: str = "in"
 
 
 @dataclass
@@ -211,22 +217,29 @@ class GASEngine:
         for df in self._edges_by.values():
             df.unpersist()
         self._edges_by.clear()
-        self._all_dsts_df = None
+        self._all_recv = {}
+        self._all_recv_count = {}
 
-    _all_dsts_df: DataFrame | None = None
-    _all_dsts_count: int = 0
+    #: constant all-receivers frontiers per aggregation key ("dst" for
+    #: GATHER_IN_EDGES, "src" for GATHER_OUT_EDGES), computed once each
+    _all_recv: dict = None
+    _all_recv_count: dict = None
 
-    def _all_dsts(self) -> DataFrame:
-        """Constant frontier 'every vertex with an in-edge' (computed once)."""
-        if self._all_dsts_df is None:
-            self._all_dsts_df = (
-                self.edges_partitioned("src")
-                .select(F.col("dst").alias("id"))
+    def _all_receivers(self, agg_key: str) -> DataFrame:
+        """Constant frontier 'every vertex that can receive a gather
+        message' = distinct agg-side endpoint (computed once per key)."""
+        if self._all_recv is None:
+            self._all_recv, self._all_recv_count = {}, {}
+        if agg_key not in self._all_recv:
+            nbr_key = "src" if agg_key == "dst" else "dst"
+            df = self._cut(
+                self.edges_partitioned(nbr_key)
+                .select(F.col(agg_key).alias("id"))
                 .distinct()
             )
-            self._all_dsts_df = self._cut(self._all_dsts_df)
-            self._all_dsts_count = self._all_dsts_df.count()
-        return self._all_dsts_df
+            self._all_recv[agg_key] = df
+            self._all_recv_count[agg_key] = df.count()
+        return self._all_recv[agg_key]
 
     # -- checkpoint/resume -------------------------------------------------
 
@@ -401,11 +414,12 @@ class GASEngine:
             traversed = int(row["tr"] or 0)
             if program.mode == "pull" and changed_n >= self._n_vertices:
                 # every vertex changed -> next frontier is the constant set
-                # of vertices with >= 1 in-edge; skip the edge-sized expand
+                # of possible gather receivers; skip the edge-sized expand
                 # shuffle entirely (dominant regime for all-vertex programs
                 # like PageRank until convergence begins to localize).
-                frontier = self._all_dsts()
-                frontier_size = self._all_dsts_count
+                agg_key = "dst" if program.gather_dir == "in" else "src"
+                frontier = self._all_receivers(agg_key)
+                frontier_size = self._all_recv_count[agg_key]
             else:
                 frontier = self._next_frontier(program, applied, frontier_size).persist(
                     StorageLevel.MEMORY_AND_DISK
@@ -449,22 +463,25 @@ class GASEngine:
             return F.broadcast(frontier)
         return frontier
 
-    def _aggregate(self, msgs: DataFrame, program: GASProgram) -> DataFrame:
-        """groupBy(dst).agg(combiner) with optional two-level salting."""
+    def _aggregate(
+        self, msgs: DataFrame, program: GASProgram, agg_key: str = "dst"
+    ) -> DataFrame:
+        """groupBy(agg_key).agg(combiner) with optional two-level salting."""
         val = F.col("_msg")
+        nbr_key = "src" if agg_key == "dst" else "dst"
         if self.salt_buckets > 1:
             partial = (
                 msgs.withColumn(
-                    "_salt", F.pmod(F.xxhash64("src"), F.lit(self.salt_buckets))
+                    "_salt", F.pmod(F.xxhash64(nbr_key), F.lit(self.salt_buckets))
                 )
-                .groupBy("dst", "_salt")
+                .groupBy(agg_key, "_salt")
                 .agg(program.combiner(val).alias("_msg"), F.count("*").alias("_cnt"))
             )
-            return partial.groupBy("dst").agg(
+            return partial.groupBy(agg_key).agg(
                 program.combiner(F.col("_msg")).alias("_gathered"),
                 F.sum("_cnt").alias("_msg_cnt"),
             )
-        return msgs.groupBy("dst").agg(
+        return msgs.groupBy(agg_key).agg(
             program.combiner(val).alias("_gathered"),
             F.count("*").alias("_msg_cnt"),
         )
@@ -476,16 +493,17 @@ class GASEngine:
         gathered: DataFrame,
         frontier: DataFrame,
         frontier_size: int,
+        agg_key: str = "dst",
     ) -> DataFrame:
         """Join gathered values onto vertex state, mark frontier membership,
         and evaluate apply/changed. Returns (id, *state, _msg_cnt, _changed).
 
-        vertices are id-partitioned and gathered is dst-partitioned by the
-        same hash — the join is co-partitioned (no exchange). The frontier
-        marker join is skipped entirely when frontier == ALL (srcVertex ALL
-        programs spend most supersteps there)."""
+        vertices are id-partitioned and gathered is agg_key-partitioned by
+        the same hash — the join is co-partitioned (no exchange). The
+        frontier marker join is skipped entirely when frontier == ALL
+        (srcVertex ALL programs spend most supersteps there)."""
         joined = vertices.join(
-            gathered.withColumnRenamed("dst", "id"), on="id", how="left"
+            gathered.withColumnRenamed(agg_key, "id"), on="id", how="left"
         )
         if frontier_size >= self._n_vertices:
             joined = joined.withColumn("_in_frontier", F.lit(True))
@@ -517,43 +535,49 @@ class GASEngine:
         frontier: DataFrame,
         frontier_size: int,
     ) -> DataFrame:
-        edges = self.edges_partitioned("src")
+        # gather_dir: "in" -> read src state, aggregate at dst;
+        #             "out" -> read dst state, aggregate at src.
+        agg_key = "dst" if program.gather_dir == "in" else "src"
+        nbr_key = "src" if program.gather_dir == "in" else "dst"
+        edges = self.edges_partitioned(nbr_key)
         # GATHER with a three-regime join order — the Spark analogue of the
         # reference's two-phase/dynamic switch (enactor:2694-2702):
         # 1. small frontier: prune edges by a BROADCAST of the frontier
-        #    first (touches only the frontier's in-edges), then fetch src
-        #    state;
+        #    first (touches only the frontier's gathered edges), then fetch
+        #    neighbor state;
         # 2. large-but-partial frontier: edges⋈vertices co-partitioned on
-        #    src==id (no exchange), then shuffle-filter by the frontier;
+        #    nbr_key==id (no exchange), then shuffle-filter by the frontier;
         # 3. frontier == ALL (or the constant all-receivers set, which
-        #    every message dst is in by construction): skip the filter —
-        #    apply's _in_frontier gate discards the rest, exact same
+        #    every message receiver is in by construction): skip the filter
+        #    — apply's _in_frontier gate discards the rest, exact same
         #    result for less work.
-        is_all = (
-            frontier_size >= self._n_vertices or frontier is self._all_dsts_df
+        is_all = frontier_size >= self._n_vertices or (
+            self._all_recv is not None and frontier is self._all_recv.get(agg_key)
         )
         if not is_all and frontier_size <= self.broadcast_threshold:
             touched = edges.join(
-                F.broadcast(frontier.withColumnRenamed("id", "dst")),
-                on="dst",
+                F.broadcast(frontier.withColumnRenamed("id", agg_key)),
+                on=agg_key,
                 how="inner",
             )
             msgs = touched.join(
-                vertices, touched["src"] == vertices["id"], "inner"
+                vertices, touched[nbr_key] == vertices["id"], "inner"
             ).drop("id")
         else:
             msgs = edges.join(
-                vertices, edges["src"] == vertices["id"], "inner"
+                vertices, edges[nbr_key] == vertices["id"], "inner"
             ).drop("id")
             if not is_all:
                 msgs = msgs.join(
-                    frontier.withColumnRenamed("id", "dst"), on="dst", how="inner"
+                    frontier.withColumnRenamed("id", agg_key), on=agg_key, how="inner"
                 )
         msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
-        gathered = self._aggregate(msgs, program)
+        gathered = self._aggregate(msgs, program, agg_key)
 
         # APPLY over the frontier only (APPLY_FRONTIER policy).
-        return self._apply(program, vertices, gathered, frontier, frontier_size)
+        return self._apply(
+            program, vertices, gathered, frontier, frontier_size, agg_key
+        )
 
     def _superstep_push(
         self,
@@ -584,17 +608,20 @@ class GASEngine:
         """SCATTER from the *materialized* applied state (so the expand
         join never recomputes the superstep)."""
         if program.mode == "pull":
-            # out-neighbors of changed vertices, exact dedup (the contract
-            # culls done exactly: one distinct shuffle).
-            edges_src = self.edges_partitioned("src")
-            changed_src = applied.filter(F.col("_changed")).select(
-                F.col("id").alias("src")
+            # next frontier = vertices whose gather input changed, i.e. the
+            # receivers adjacent to changed neighbor-state vertices; exact
+            # dedup (the contract culls done exactly: one distinct shuffle).
+            agg_key = "dst" if program.gather_dir == "in" else "src"
+            nbr_key = "src" if agg_key == "dst" else "dst"
+            edges_k = self.edges_partitioned(nbr_key)
+            changed_nbr = applied.filter(F.col("_changed")).select(
+                F.col("id").alias(nbr_key)
             )
             return (
-                edges_src.join(
-                    self._hint(changed_src, frontier_size), on="src", how="inner"
+                edges_k.join(
+                    self._hint(changed_nbr, frontier_size), on=nbr_key, how="inner"
                 )
-                .select(F.col("dst").alias("id"))
+                .select(F.col(agg_key).alias("id"))
                 .distinct()
             )
         return applied.filter(F.col("_changed")).select("id")

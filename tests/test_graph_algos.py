@@ -266,3 +266,48 @@ def test_salted_gather_correct_on_hub(spark):
         .count()
     )
     assert diff == 0
+
+
+def test_gather_out_direction_matches_reversed_graph(spark, make_edges, make_vertices):
+    """Native GATHER_OUT_EDGES (csr_problem.cuh:68-91): pagerank with
+    gather_dir='out' over E must equal the in-gather pagerank over
+    reversed(E), per vertex at 1e-6."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from mirrorofmapgraph_spark.operators.pagerank import pagerank, pagerank_program
+    from mirrorofmapgraph_spark.plans.gas import GASEngine
+    from mirrorofmapgraph_spark.sources.edges import in_degrees, vertex_frame
+
+    edges = random_graph(n=40, m=160, seed=21)
+    e = canonicalize(make_edges(edges))
+    erev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    want = {
+        r["id"]: r["rank"]
+        for r in pagerank(spark, erev, tol=1e-6, max_iter=100, damping=0.5,
+                          vertices=make_vertices(40)).vertices.collect()
+    }
+    # out-gather over E: the message source is the dst endpoint, whose
+    # divisor is its out-degree in reversed(E) = its in-degree in E
+    prog = dataclasses.replace(pagerank_program(damping=0.5, tol=1e-6),
+                               gather_dir="out")
+    verts = make_vertices(40)
+    ind = in_degrees(e)
+    v0 = (
+        verts.join(ind, on="id", how="left")
+        .select(
+            "id",
+            F.lit(0.15).alias("rank"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("out_deg"),
+        )
+    )
+    engine = GASEngine(spark, e)
+    res = engine.run(prog, v0, verts.select("id"), max_iter=100)
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    assert res.converged
+    for v in range(40):
+        assert math.isclose(got[v], want[v], rel_tol=0, abs_tol=1e-6), (
+            f"vertex {v}: out-gather {got[v]} != reversed in-gather {want[v]}"
+        )
+    engine.unpersist()
