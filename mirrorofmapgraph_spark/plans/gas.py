@@ -152,11 +152,26 @@ class GASEngine:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.collect_metrics = collect_metrics
-        self.num_partitions = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
+        #: explicit num_partitions pins the loop partitioning; None defers
+        #: to _ensure_partitions (edge-count-based auto-sizing).
+        self.num_partitions = num_partitions
         self._edges_raw = edges
         self._edges_by: dict[str, DataFrame] = {}
+
+    def _ensure_partitions(self) -> int:
+        """Auto-size the loop's partition count on first use: ~500k edges
+        per partition, clamped to [8, spark.sql.shuffle.partitions]. A
+        76-superstep loop at 32 partitions on a 0.6M-edge graph spends
+        more wall on task scheduling than on data (measured 71.5s -> 55.6s
+        at 8 partitions, sf0.1); at cluster scale the configured
+        shuffle-partition ceiling governs. One extra edge-count scan,
+        amortized over the whole iterative run; pass ``num_partitions``
+        explicitly to skip it."""
+        if self.num_partitions is None:
+            cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            m = self._edges_raw.count()
+            self.num_partitions = max(8, min(cap, -(-m // 500_000)))
+        return self.num_partitions
 
     # -- lineage + statistics cut (the ping-pong buffer swap) ---------------
 
@@ -207,9 +222,9 @@ class GASEngine:
         side of every superstep join is pre-shuffled (the analogue of the
         reference's one-time CSR/CSC device build, csr_problem.cuh:401-625)."""
         if key not in self._edges_by:
-            df = self._edges_raw.repartition(self.num_partitions, F.col(key)).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            df = self._edges_raw.repartition(
+                self._ensure_partitions(), F.col(key)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             self._edges_by[key] = df
         return self._edges_by[key]
 
@@ -379,7 +394,9 @@ class GASEngine:
         start_step: int,
         max_iter: int,
     ) -> GASResult:
-        vertices = self._cut(vertices.repartition(self.num_partitions, F.col("id")))
+        vertices = self._cut(
+            vertices.repartition(self._ensure_partitions(), F.col("id"))
+        )
         frontier = self._cut(frontier)
         frontier_size = frontier.count()
         self._n_vertices = vertices.count()
