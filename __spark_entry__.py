@@ -744,9 +744,19 @@ def q_docs_minhash_pairs(spark, sf_dir):
     )
 
 
+def _full_sig_fold_expr() -> str:
+    """Polynomial fold over the FULL signature — the oversized-bucket group
+    key (identical signatures share it), mirroring dedup.py's full_fold."""
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(MINHASH_NPERM):
+        expr = f"(({expr}) * 1000003 + s{j}) % {P}"
+    return expr
+
+
 def _minhash_pairs_sql() -> str:
     # mirrors operators/dedup.py minhash_candidates incl. the hot-bucket
-    # star fallback: buckets > MAX emit (min_id -> member) instead of the clique
+    # GROUPED-star fallback (blocked_candidate_pairs): buckets > MAX emit a
+    # star per identical-signature group plus a rep-to-rep star across groups
     matches = " + ".join(
         f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(MINHASH_NPERM)
     )
@@ -763,8 +773,17 @@ clique AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b
   FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
   WHERE x.n <= {cap}),
+bigg AS (
+  SELECT z.doc_id, z.band, z.bucket, z.rep, {_full_sig_fold_expr()} AS g
+  FROM sized z JOIN sig USING (doc_id) WHERE z.n > {cap}),
+grp AS (
+  SELECT band, bucket, g, MIN(doc_id) AS grep, MIN(rep) AS rep
+  FROM bigg GROUP BY 1, 2, 3),
 star AS (
-  SELECT rep AS id_a, doc_id AS id_b FROM sized WHERE n > {cap} AND doc_id != rep),
+  SELECT t.grep AS id_a, b2.doc_id AS id_b
+  FROM bigg b2 JOIN grp t USING (band, bucket, g) WHERE b2.doc_id != t.grep
+  UNION ALL
+  SELECT rep AS id_a, grep AS id_b FROM grp WHERE grep != rep),
 cand AS (
   SELECT id_a, id_b, COUNT(*) AS n_shared_bands
   FROM (SELECT * FROM clique UNION ALL SELECT * FROM star)
@@ -813,12 +832,17 @@ def q_docs_simhash_pairs(spark, sf_dir):
 
 
 def _simhash_pairs_sql() -> str:
-    # mirrors operators/dedup.py simhash_near_duplicates: byte-band
-    # blocking over the 32-bit fingerprint + star fallback + exact hamming
+    # mirrors operators/dedup.py simhash_near_duplicates: max_hamming+1
+    # near-equal bit bands over the 32-bit fingerprint (simhash_band_layout
+    # shared with the operator -> identical buckets) + GROUPED-star fallback
+    # (group key = the fingerprint itself) + exact hamming verify
+    from mirrorofmapgraph_spark.operators.dedup import simhash_band_layout
+
     sim = _simhash_sql().strip()
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bucket FROM fp"
-        for b in range(4)
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {sh}) & {(1 << w) - 1} AS bucket FROM fp"
+        for i, (sh, w) in enumerate(simhash_band_layout(SIMHASH_MAX_HAMMING))
     )
     ham = " + ".join(f"((xor(a.simhash, b.simhash) >> {k}) & 1)" for k in range(32))
     cap = SIMHASH_MAX_BUCKET
@@ -831,8 +855,15 @@ clique AS (
   SELECT x.doc_id AS id_a, y.doc_id AS id_b
   FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
   WHERE x.n <= {cap}),
+grp AS (
+  SELECT band, bucket, simhash, MIN(doc_id) AS grep, MIN(rep) AS rep
+  FROM sized WHERE n > {cap} GROUP BY 1, 2, 3),
 star AS (
-  SELECT rep AS id_a, doc_id AS id_b FROM sized WHERE n > {cap} AND doc_id != rep),
+  SELECT t.grep AS id_a, z.doc_id AS id_b
+  FROM sized z JOIN grp t USING (band, bucket, simhash)
+  WHERE z.n > {cap} AND z.doc_id != t.grep
+  UNION ALL
+  SELECT rep AS id_a, grep AS id_b FROM grp WHERE grep != rep),
 cand AS (SELECT DISTINCT id_a, id_b FROM (SELECT * FROM clique UNION ALL SELECT * FROM star))
 SELECT c.id_a, c.id_b, CAST(({ham}) AS INT) AS hamming
 FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b

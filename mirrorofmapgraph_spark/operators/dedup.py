@@ -34,6 +34,53 @@ from ..functions.hashing import (
 from ..functions.text import tokens, word_ngrams
 
 
+def blocked_candidate_pairs(keyed: DataFrame, *, max_bucket: int) -> DataFrame:
+    """Candidate (id_a, id_b) rows from banded blocking with a hot-bucket cap.
+
+    ``keyed``: (id, band, bucket, _g) where ``_g`` is an exact-fingerprint
+    group key (docs with identical signatures share ``_g``). Emits one row
+    per shared (band, bucket) co-occurrence — callers aggregate/dedup.
+
+    Buckets with <= ``max_bucket`` members emit the full clique (quadratic
+    within the bucket only). Oversized buckets emit a GROUPED star:
+    - within each identical-``_g`` group, a (group-min-id -> member) star;
+    - across groups, a (bucket-min-id -> group-min-id) star.
+    Every identical-fingerprint cluster stays fully connected through its
+    group rep — its pairs score as exact duplicates and survive any
+    downstream similarity threshold. Only pairs BETWEEN two different
+    fingerprint groups of one oversized bucket are reduced to their reps'
+    single pair (which a threshold may cull): a documented recall trade on
+    pathological buckets, in exchange for linear instead of quadratic cost
+    per bucket — the 100 TB safety valve.
+    """
+    stats = keyed.groupBy("band", "bucket").agg(
+        F.count("*").alias("_n"), F.min("id").alias("_rep")
+    )
+    sized = keyed.join(stats, on=["band", "bucket"])
+    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
+    clique = (
+        small.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
+              on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    big = sized.filter(F.col("_n") > max_bucket)
+    groups = big.groupBy("band", "bucket", "_g").agg(
+        F.min("id").alias("_grep"), F.min("_rep").alias("_rep")
+    )
+    within = (
+        big.join(groups.select("band", "bucket", "_g", "_grep"),
+                 on=["band", "bucket", "_g"])
+        .filter(F.col("id") != F.col("_grep"))
+        .select(F.col("_grep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    across = groups.filter(F.col("_grep") != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col("_grep").alias("id_b")
+    )
+    return clique.unionByName(within).unionByName(across)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group exact duplicates by md5(text): (content_md5, n_docs, keep_id).
     keep_id = min doc id (deterministic canonical representative)."""
@@ -122,35 +169,29 @@ def minhash_candidates(
 
     Hot-bucket guard (the 100 TB safety valve): a bucket of b docs emits
     b*(b-1)/2 pairs — one bucket of 1M boilerplate-identical docs would be
-    5*10^11 pairs. Buckets larger than ``max_bucket`` therefore emit a STAR
-    (min-id representative -> every other member, b-1 pairs) instead of the
-    clique. For dedup connectivity this is lossless — union-find over the
-    star yields the same connected groups — while the join cost per bucket
-    drops from quadratic to linear. est_jaccard stays exact per emitted
-    pair (computed from the full signatures, not the bucket).
+    5*10^11 pairs. Buckets larger than ``max_bucket`` therefore emit a
+    GROUPED STAR instead of the clique (see ``blocked_candidate_pairs``):
+    docs with identical full signatures stay fully connected through their
+    group rep (their est_jaccard is 1.0, so no downstream threshold culls
+    them); only cross-group pairs through the oversized bucket collapse to
+    a single rep-to-rep pair. Cost per bucket drops from quadratic to
+    linear. est_jaccard stays exact per emitted pair (computed from the
+    full signatures, not the bucket).
     """
     banded = minhash_bands(
         docs, text_col, id_col, num_perm=num_perm, bands=bands, ngram=ngram, seed=seed
     )
-    keyed = banded.select("id", "band", "bucket")
-    stats = keyed.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.min("id").alias("_rep")
+    # exact-fingerprint group key: polynomial fold of the FULL signature
+    # (same portable arithmetic as the band buckets, so the DuckDB oracle
+    # reproduces identical groups)
+    full_fold = F.aggregate(
+        F.col("sig"),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(1000003) + h) % F.lit(MERSENNE31),
     )
-    sized = keyed.join(stats, on=["band", "bucket"])
-    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
-    clique = (
-        small.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
-              on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    star = (
-        sized.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
-    )
+    keyed = banded.select("id", "band", "bucket", full_fold.alias("_g"))
     pairs = (
-        clique.unionByName(star)
+        blocked_candidate_pairs(keyed, max_bucket=max_bucket)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
@@ -175,6 +216,25 @@ def minhash_candidates(
     )
 
 
+def simhash_band_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) per blocking band: ``max_hamming + 1`` near-equal bit
+    bands over the 32-bit fingerprint. Pigeonhole: a pair differing in at
+    most ``max_hamming`` bits agrees exactly on >= 1 band. Shared by the
+    Spark operator and the DuckDB oracle mirror (identical buckets)."""
+    b = max_hamming + 1
+    if not 1 <= b <= 32:
+        raise ValueError(
+            f"simhash_near_duplicates: max_hamming={max_hamming} out of range "
+            "[0, 31] for a 32-bit fingerprint"
+        )
+    widths = [32 // b + (1 if i < 32 % b else 0) for i in range(b)]
+    out, off = [], 0
+    for w in widths:
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -195,45 +255,39 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """SimHash near-duplicate pairs: (id_a, id_b, hamming <= max_hamming).
 
-    Blocking by the 4 bytes of the 32-bit fingerprint (pigeonhole: a pair
-    within hamming distance 3 differs in at most 3 bytes, so it shares at
-    least one byte-band bucket — no candidate with hamming <= 3 is missed
-    as long as its buckets stay under ``max_bucket``). Oversized buckets
-    fall back to a min-id star, bounding the per-bucket join linearly (same
-    guard as minhash_candidates; documented recall trade on pathological
-    buckets). Exact hamming verification on every candidate.
+    Blocking by ``max_hamming + 1`` near-equal bit bands of the 32-bit
+    fingerprint (Manku et al., WWW'07 §3 block-permuted tables): a pair
+    within hamming distance h differs in at most h bands, so with h+1
+    bands it agrees exactly on at least one band bucket — recall is
+    guaranteed for ANY ``max_hamming`` <= 31 as long as buckets stay under
+    ``max_bucket`` (the band count adapts instead of silently losing
+    pairs). Oversized buckets fall back to a grouped star (see
+    ``blocked_candidate_pairs``): one star per identical-fingerprint group
+    plus a rep-to-rep star across groups, so exact-duplicate clusters
+    inside a hot bucket keep all their pairs (hamming 0 survives the
+    verify); only cross-group pairs through an oversized bucket can be
+    lost. Exact hamming verification on every candidate.
     """
     fp = simhash_fingerprints(docs, text_col, id_col)
     bb = F.explode(
         F.array(*[
             F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bucket"),
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), sh)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("bucket"),
             )
-            for b in range(4)
+            for i, (sh, w) in enumerate(simhash_band_layout(max_hamming))
         ])
     )
     banded = fp.select("id", "simhash", bb.alias("bb")).select(
         "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    keyed = banded.select("id", "band", "bucket")
-    stats = keyed.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.min("id").alias("_rep")
+    # group key for the oversized-bucket star = the full fingerprint itself
+    keyed = banded.select("id", "band", "bucket", F.col("simhash").alias("_g"))
+    cand = blocked_candidate_pairs(keyed, max_bucket=max_bucket).dropDuplicates(
+        ["id_a", "id_b"]
     )
-    sized = keyed.join(stats, on=["band", "bucket"])
-    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
-    clique = (
-        small.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
-              on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
-    star = (
-        sized.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    cand = clique.unionByName(star).dropDuplicates(["id_a", "id_b"])
     sig = fp.select("id", "simhash")
     cand = (
         cand.join(sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")),

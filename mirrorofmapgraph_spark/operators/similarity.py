@@ -180,27 +180,23 @@ def near_duplicates_cosine(
     Defaults: 128 planes / 16 bands = 8 bits/band -> recall ~0.94 for
     pairs at cosine 0.8 (~0.996 at 0.9) while a random pair collides in
     ~6% of cases. Buckets larger than ``max_bucket`` (e.g. a cluster of
-    identical embeddings) fall back to a min-id star — connectivity is
-    preserved for dedup grouping, cost per bucket drops to linear."""
+    identical embeddings) fall back to a GROUPED min-id star (see
+    dedup.blocked_candidate_pairs): identical embeddings — which collide
+    in EVERY band, so no other band can recover them — are grouped by an
+    exact vector hash and stay fully connected through their group rep
+    (cosine 1.0 survives the threshold); only cross-group pairs through
+    an oversized bucket collapse to a single rep-to-rep pair. Cost per
+    bucket drops to linear."""
+    from .dedup import blocked_candidate_pairs
+
     b = simhash_buckets(emb, vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed)
-    keyed = b.select(F.col(id_col).alias("id"), "band", "bucket")
-    stats = keyed.groupBy("band", "bucket").agg(
-        F.count("*").alias("_n"), F.min("id").alias("_rep")
+    keyed = b.select(
+        F.col(id_col).alias("id"), "band", "bucket",
+        F.xxhash64(F.col(vec_col)).alias("_g"),
     )
-    sized = keyed.join(stats, on=["band", "bucket"])
-    small = sized.filter(F.col("_n") <= max_bucket).select("id", "band", "bucket")
-    clique = (
-        small.select(F.col("id").alias("id_a"), "band", "bucket")
-        .join(small.select(F.col("id").alias("id_b"), "band", "bucket"),
-              on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+    cand = blocked_candidate_pairs(keyed, max_bucket=max_bucket).dropDuplicates(
+        ["id_a", "id_b"]
     )
-    star = (
-        sized.filter((F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep")))
-        .select(F.col("_rep").alias("id_a"), F.col("id").alias("id_b"))
-    )
-    cand = clique.unionByName(star).dropDuplicates(["id_a", "id_b"])
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     pairs = (
         cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a")

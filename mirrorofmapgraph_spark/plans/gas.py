@@ -426,7 +426,7 @@ class GASEngine:
             # double-buffer analogue (csr_problem.cuh:180-183).
             applied = self._cut(applied)
             vertices = applied.drop("_changed", "_msg_cnt")
-            row = obs.get  # already fired by the eager checkpoint
+            row = self._read_observation(obs, applied)
             changed_n = int(row["ch"] or 0)
             traversed = int(row["tr"] or 0)
             if program.mode == "pull" and changed_n >= self._n_vertices:
@@ -472,6 +472,33 @@ class GASEngine:
             metrics=metrics,
             converged=frontier_size == 0,
         )
+
+    def _read_observation(self, obs: Observation, applied_ck: DataFrame) -> dict:
+        """Read the per-superstep metrics with a bounded wait.
+
+        The observation normally fires with the eager ``localCheckpoint``
+        that just materialized the superstep (verified on the pinned Spark
+        4.1.2, where localCheckpoint posts a query-execution event), so
+        ``obs.get`` returns immediately. But ``obs.get`` blocks with no
+        timeout — if a future Spark stopped surfacing localCheckpoint to
+        listeners, every superstep would hang silently. Defensive contract:
+        wait up to 30 s on a daemon thread, then fall back to one explicit
+        aggregate over the already-checkpointed frame (cheap: the RDD is
+        materialized; same values)."""
+        import threading
+
+        holder: dict = {}
+        t = threading.Thread(target=lambda: holder.update(obs.get), daemon=True)
+        t.start()
+        t.join(timeout=30.0)
+        if holder:
+            return holder
+        # the daemon thread stays parked on obs.get (harmless); recompute
+        agg = applied_ck.agg(
+            F.sum(F.col("_changed").cast("long")).alias("ch"),
+            F.sum("_msg_cnt").alias("tr"),
+        ).collect()[0]
+        return {"ch": agg["ch"], "tr": agg["tr"]}
 
     # frontier-side hint: broadcast small frontiers (reference two-phase /
     # dynamic strategy switch, enactor_vertex_centric.cuh:2694-2702).

@@ -56,6 +56,14 @@ def read_mtx(spark: SparkSession, path: str, symmetric: bool | None = None) -> D
     lines are re-added so exactly one copy is dropped.
     """
     banner, size_line = _read_head(spark, path)
+    if size_line is None:
+        # empty / comment-only / non-MatrixMarket input: fail loudly instead
+        # of silently producing a zero-edge graph (the size-line filter below
+        # would otherwise compare against NULL and drop every row).
+        raise ValueError(
+            f"read_mtx: no 'rows cols nnz' size line found in {path!r} "
+            "(empty, comment-only, or not a Matrix Market file)"
+        )
     if symmetric is None:
         symmetric = banner is not None and "symmetric" in banner
     lines = spark.read.text(path)

@@ -103,18 +103,60 @@ def sessionize_native(events: DataFrame, *, gap_minutes: int = 30) -> DataFrame:
 
 
 def event_edges(
-    events: DataFrame, *, window: str = "1 hour", max_users_per_window: int = 1000
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    max_users_per_window: int = 1000,
+    watermark: str = "2 hours",
+    stream_user_mod: int = 1,
 ) -> DataFrame:
     """Incremental graph feed: co-occurrence edges between users active in
-    the same window. Returns (src, dst, w=co-occurrence count).
+    the same window.
 
-    Scale bound: the per-window self-join is quadratic in window activity
-    (one hour with 1M active users = 5*10^11 pairs), so each window keeps
-    only its ``max_users_per_window`` MOST ACTIVE users (event count desc,
+    Batch: returns (src, dst, w=co-occurrence count across windows). Scale
+    bound: the per-window self-join is quadratic in window activity (one
+    hour with 1M active users = 5*10^11 pairs), so each window keeps only
+    its ``max_users_per_window`` MOST ACTIVE users (event count desc,
     user_id asc tiebreak — deterministic); the rest are dropped from that
     window's clique. Cost is bounded by windows * cap^2 regardless of
     corpus size. The ranking window is partitioned by `win`, so no global
-    single-partition sort."""
+    single-partition sort.
+
+    Streaming: the exact top-k cap needs a per-window ranking, which
+    Structured Streaming cannot do incrementally (a non-time row_number on
+    a stream throws AnalysisException), so the streaming path is
+    watermark-safe by construction instead: watermarked ``dropDuplicates``
+    for the per-window activity set, an APPROXIMATE activity cap via
+    deterministic hash sampling (keep users with
+    ``xxhash64(user_id) % stream_user_mod == 0``; default 1 = keep all),
+    and a window-equality stream-stream self-join. The output is the
+    per-window pair stream (win_start, src, dst, w=1.0) in append mode;
+    roll up w across windows in the sink or a downstream batch job (a
+    chained cross-window aggregation after a stream-stream join is not
+    incrementally supported)."""
+    if events.isStreaming:
+        src = events
+        if dict(src.dtypes).get("ts") == "timestamp_ntz":
+            src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+        act = (
+            src.withWatermark("ts", watermark)
+            .select(F.window("ts", window).alias("win"), "user_id")
+        )
+        if stream_user_mod > 1:
+            act = act.filter(
+                F.pmod(F.xxhash64(F.col("user_id")), F.lit(stream_user_mod)) == 0
+            )
+        act = act.dropDuplicates(["win", "user_id"])
+        a = act.select("win", F.col("user_id").alias("src"))
+        b = act.select("win", F.col("user_id").alias("dst"))
+        return (
+            a.join(b, on="win")
+            .filter(F.col("src") < F.col("dst"))
+            .select(
+                F.col("win.start").alias("win_start"), "src", "dst",
+                F.lit(1.0).alias("w"),
+            )
+        )
     act = events.select(F.window("ts", window).alias("win"), "user_id").groupBy(
         "win", "user_id"
     ).agg(F.count("*").alias("_n_ev"))
@@ -148,14 +190,15 @@ def stream_from_directory(
 
 
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, *, timeout_s: int = 60
+    df: DataFrame, query_name: str, *, timeout_s: int = 60,
+    output_mode: str = "complete",
 ) -> None:
     """Drive a streaming DataFrame into an in-memory sink until all
     available data is processed (test/bench harness)."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -126,3 +126,16 @@ def test_read_mtx_feeds_pagerank(spark):
     got = {r["id"]: r["rank"] for r in res.vertices.collect()}
     for v in range(SMALL_N):
         assert math.isclose(got[v], expected[v], rel_tol=0, abs_tol=1e-6)
+
+
+def test_read_mtx_rejects_sizeless_file(spark, tmp_path):
+    """Comment-only / non-MatrixMarket input must fail loudly, not return
+    an empty edge set."""
+    import pytest as _pytest
+
+    p = tmp_path / "bad.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate pattern general\n% only comments\n")
+    from mirrorofmapgraph_spark.sources.mtx import read_mtx
+
+    with _pytest.raises(ValueError, match="size line"):
+        read_mtx(spark, str(p))

@@ -140,11 +140,19 @@ def test_simhash_near_duplicates_pairs(spark):
             "utterly different content with other words entirely now",
         ],
     )
+    # tight band (max_hamming=3): dups + near-dup found, the unrelated doc
+    # (hamming 5-6 from the others) correctly excluded
     rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in
-            simhash_near_duplicates(d, max_hamming=8).collect()}
+            simhash_near_duplicates(d, max_hamming=3).collect()}
     assert rows[(0, 1)] == 0
-    assert (0, 2) in rows and rows[(0, 2)] <= 8
+    assert (0, 2) in rows and rows[(0, 2)] <= 3
     assert not any(3 in p for p in rows)
+    # wide band (max_hamming=8): the adaptive 9-band layout now recalls the
+    # hamming-6 pair that 4-byte-band blocking silently missed (round-2
+    # ADVICE bug) — every pair of these docs is within 8 bits
+    wide = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+            simhash_near_duplicates(d, max_hamming=8).collect()}
+    assert wide[(0, 3)] == 6 and wide[(0, 2)] == 1
 
 
 def test_simhash_pairs_hot_bucket_star(spark):
@@ -407,3 +415,45 @@ def test_multimodal_real_decode_is_stubbed(spark):
     assets = synthesize_assets(spark, n=3)
     with pytest.raises(NotImplementedError):
         decode_image(assets, fake=False)
+
+
+# ---- grouped-star hot-bucket fallback (round-3 ADVICE fix) -----------------
+
+def test_blocked_candidates_grouped_star(spark):
+    """An oversized bucket holding TWO distinct fingerprint groups must
+    keep each group fully connected through its own rep (within-group
+    stars) and connect the groups rep-to-rep — so a duplicate cluster
+    whose similarity to the bucket's global rep is below a downstream
+    threshold no longer loses all its pairs."""
+    from mirrorofmapgraph_spark.operators.dedup import blocked_candidate_pairs
+
+    rows = [(i, 0, 0, 1 if i < 150 else 2) for i in range(300)]
+    keyed = spark.createDataFrame(rows, "id long, band int, bucket long, _g long")
+    got = {(r["id_a"], r["id_b"]) for r in
+           blocked_candidate_pairs(keyed, max_bucket=64).collect()}
+    want = {(0, i) for i in range(1, 150)}          # group-1 star (rep 0)
+    want |= {(150, i) for i in range(151, 300)}     # group-2 star (rep 150)
+    want |= {(0, 150)}                              # cross-group rep pair
+    assert got == want
+
+
+def test_blocked_candidates_small_bucket_clique(spark):
+    from mirrorofmapgraph_spark.operators.dedup import blocked_candidate_pairs
+
+    rows = [(i, 0, 0, i) for i in range(5)]  # all different groups, small
+    keyed = spark.createDataFrame(rows, "id long, band int, bucket long, _g long")
+    got = blocked_candidate_pairs(keyed, max_bucket=64).collect()
+    assert len(got) == 10  # full C(5,2) clique
+
+
+def test_simhash_band_layout_adapts_and_validates():
+    from mirrorofmapgraph_spark.operators.dedup import simhash_band_layout
+
+    assert simhash_band_layout(0) == [(0, 32)]
+    assert simhash_band_layout(3) == [(0, 8), (8, 8), (16, 8), (24, 8)]
+    lay = simhash_band_layout(8)
+    assert len(lay) == 9 and sum(w for _, w in lay) == 32
+    with pytest.raises(ValueError):
+        simhash_band_layout(32)
+    with pytest.raises(ValueError):
+        simhash_band_layout(-1)

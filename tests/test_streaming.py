@@ -109,3 +109,27 @@ def test_event_edges_feed_gas(spark, events):
         .distinct()
         .count()
     )
+
+
+def test_event_edges_streaming_matches_batch_pairs(spark, events, tmp_path):
+    """The streaming path (watermarked dropDuplicates + window-equality
+    stream-stream self-join, append mode) must produce exactly the batch
+    per-window pair set when no cap/sampling is applied."""
+    src = str(tmp_path / "edges_stream_src")
+    events.write.parquet(src)
+    stream = stream_from_directory(spark, src)
+    out = event_edges(stream, window="6 hours")
+    assert out.isStreaming
+    run_stream_to_memory(out, "evt_edges", timeout_s=180, output_mode="append")
+    got = {
+        (r["win_start"], r["src"], r["dst"])
+        for r in spark.sql("select * from evt_edges").collect()
+    }
+    act = events.select(F.window("ts", "6 hours").alias("win"), "user_id").distinct()
+    a = act.select("win", F.col("user_id").alias("src"))
+    b = act.select("win", F.col("user_id").alias("dst"))
+    want = {
+        (r["win"]["start"], r["src"], r["dst"])
+        for r in a.join(b, on="win").filter(F.col("src") < F.col("dst")).collect()
+    }
+    assert got == want
