@@ -694,13 +694,15 @@ def q_docs_minhash_bands(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "band", "bucket")
 
 
-def _minhash_cte() -> str:
-    """CTE producing (doc_id, s0..s15) minhash signature columns."""
+def _minhash_cte(num_perm: int = MINHASH_NPERM, ngram: int = MINHASH_NGRAM,
+                 seed: int = 1) -> str:
+    """CTE producing (doc_id, s0..s{num_perm-1}) minhash signature columns
+    (plus the intermediate ``shingled`` (doc_id, shingles) CTE)."""
     toks = SQL_TOKENS.format(x="lower(text)")
     th = SQL_TOKEN_HASH.format(t="g")
-    n = MINHASH_NGRAM
+    n = ngram
     sig_cols = []
-    for j, (a, b) in enumerate(perm_params(MINHASH_NPERM, 1)):
+    for j, (a, b) in enumerate(perm_params(num_perm, seed)):
         sig_cols.append(
             f"COALESCE(list_min(list_transform(shingles, h -> ({a} * h + {b}) % {P})), {P}) AS s{j}"
         )
@@ -717,8 +719,9 @@ shingled AS (
 sig AS (SELECT doc_id, {', '.join(sig_cols)} FROM shingled)"""
 
 
-def _band_bucket_expr(band: int) -> str:
-    r = MINHASH_NPERM // MINHASH_BANDS
+def _band_bucket_expr(band: int, num_perm: int = MINHASH_NPERM,
+                      bands: int = MINHASH_BANDS) -> str:
+    r = num_perm // bands
     expr = "CAST(0 AS BIGINT)"
     for j in range(band * r, (band + 1) * r):
         expr = f"(({expr}) * 1000003 + s{j}) % {P}"
@@ -733,40 +736,18 @@ def _minhash_bands_sql() -> str:
     return f"WITH {_minhash_cte().strip()}\n{per_band}"
 
 
-def q_docs_minhash_pairs(spark, sf_dir):
-    return minhash_candidates(
-        _docs(spark, sf_dir),
-        num_perm=MINHASH_NPERM,
-        bands=MINHASH_BANDS,
-        ngram=MINHASH_NGRAM,
-        seed=1,
-        max_bucket=MINHASH_MAX_BUCKET,
-    )
-
-
-def _full_sig_fold_expr() -> str:
-    """Polynomial fold over the FULL signature — the oversized-bucket group
-    key (identical signatures share it), mirroring dedup.py's full_fold."""
-    expr = "CAST(0 AS BIGINT)"
-    for j in range(MINHASH_NPERM):
-        expr = f"(({expr}) * 1000003 + s{j}) % {P}"
-    return expr
-
-
-def _minhash_pairs_sql() -> str:
-    # mirrors operators/dedup.py minhash_candidates incl. the hot-bucket
-    # GROUPED-star fallback (blocked_candidate_pairs): buckets > MAX emit a
-    # star per identical-signature group plus a rep-to-rep star across groups
-    matches = " + ".join(
-        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(MINHASH_NPERM)
-    )
+def _minhash_cand_ctes(num_perm: int, bands: int, cap: int) -> str:
+    """CTE chain from ``sig`` to ``cand`` (id_a, id_b, n_shared_bands):
+    banded buckets -> clique for small buckets, GROUPED star for oversized
+    ones — the SQL mirror of dedup.blocked_candidate_pairs."""
     buckets = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b)} AS bucket FROM sig"
-        for b in range(MINHASH_BANDS)
+        f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b, num_perm, bands)} AS bucket FROM sig"
+        for b in range(bands)
     )
-    cap = MINHASH_MAX_BUCKET
-    return f"""WITH {_minhash_cte().strip()},
-banded AS ({buckets}),
+    fold = "CAST(0 AS BIGINT)"
+    for j in range(num_perm):
+        fold = f"(({fold}) * 1000003 + s{j}) % {P}"
+    return f"""banded AS ({buckets}),
 stats AS (SELECT band, bucket, COUNT(*) AS n, MIN(doc_id) AS rep FROM banded GROUP BY 1, 2),
 sized AS (SELECT banded.*, stats.n, stats.rep FROM banded JOIN stats USING (band, bucket)),
 clique AS (
@@ -774,7 +755,7 @@ clique AS (
   FROM sized x JOIN sized y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
   WHERE x.n <= {cap}),
 bigg AS (
-  SELECT z.doc_id, z.band, z.bucket, z.rep, {_full_sig_fold_expr()} AS g
+  SELECT z.doc_id, z.band, z.bucket, z.rep, {fold} AS g
   FROM sized z JOIN sig USING (doc_id) WHERE z.n > {cap}),
 grp AS (
   SELECT band, bucket, g, MIN(doc_id) AS grep, MIN(rep) AS rep
@@ -787,7 +768,29 @@ star AS (
 cand AS (
   SELECT id_a, id_b, COUNT(*) AS n_shared_bands
   FROM (SELECT * FROM clique UNION ALL SELECT * FROM star)
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def q_docs_minhash_pairs(spark, sf_dir):
+    return minhash_candidates(
+        _docs(spark, sf_dir),
+        num_perm=MINHASH_NPERM,
+        bands=MINHASH_BANDS,
+        ngram=MINHASH_NGRAM,
+        seed=1,
+        max_bucket=MINHASH_MAX_BUCKET,
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    # mirrors operators/dedup.py minhash_candidates incl. the hot-bucket
+    # GROUPED-star fallback (blocked_candidate_pairs): buckets > MAX emit a
+    # star per identical-signature group plus a rep-to-rep star across groups
+    matches = " + ".join(
+        f"CASE WHEN a.s{j} = b.s{j} THEN 1 ELSE 0 END" for j in range(MINHASH_NPERM)
+    )
+    return f"""WITH {_minhash_cte().strip()},
+{_minhash_cand_ctes(MINHASH_NPERM, MINHASH_BANDS, MINHASH_MAX_BUCKET)}
 SELECT c.id_a, c.id_b, c.n_shared_bands,
   ROUND(CAST(({matches}) AS DOUBLE) / {MINHASH_NPERM}, 6) AS est_jaccard
 FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b"""
@@ -870,21 +873,63 @@ FROM cand c JOIN fp a ON a.doc_id = c.id_a JOIN fp b ON b.doc_id = c.id_b
 WHERE ({ham}) <= {SIMHASH_MAX_HAMMING}"""
 
 
+# Composed near-dup pipeline (the 100 TB shape, round-2 verdict next-round
+# #2): LSH candidates in bucket-bounded time, exact Jaccard verify on the
+# candidate set ONLY — never an all-pairs scan. The standalone size-blocked
+# exact operator stays under the gate on a corpus slice (below).
+NJ_NPERM = 16
+NJ_BANDS = 8   # r=2: ~90% recall at j=0.5, ~97% at 0.6, ~99.9% at 0.8
+NJ_NGRAM = 3
+NJ_THRESHOLD = 0.5
+NJ_MAX_BUCKET = 64
+
+
 def q_docs_ngram_jaccard(spark, sf_dir):
-    # size_blocking=True adds lossless log-ratio length blocking on top of
-    # the lang block; the oracle SQL needs no mirror because the final pair
-    # set is provably identical to the unblocked join (see operator doc).
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), ngram=3, threshold=0.2, block_cols=("lang",)
+    from mirrorofmapgraph_spark.operators.dedup import minhash_candidates, verify_pairs
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_candidates(
+        docs, num_perm=NJ_NPERM, bands=NJ_BANDS, ngram=NJ_NGRAM, seed=1,
+        max_bucket=NJ_MAX_BUCKET,
     )
+    return verify_pairs(docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD)
 
 
 def _ngram_jaccard_sql() -> str:
+    # mirrors the COMPOSITION: minhash candidates (grouped-star capped)
+    # -> exact Jaccard on candidates only; `shingled` comes free from the
+    # minhash CTE (same ngram)
+    return f"""WITH {_minhash_cte(NJ_NPERM, NJ_NGRAM, 1).strip()},
+{_minhash_cand_ctes(NJ_NPERM, NJ_BANDS, NJ_MAX_BUCKET)},
+verify AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM (SELECT DISTINCT id_a, id_b FROM cand) c
+  JOIN shingled a ON a.doc_id = c.id_a JOIN shingled b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) / un, 6) AS jaccard
+FROM verify WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {NJ_THRESHOLD}"""
+
+
+# corpus slice keeping the standalone exact operator (lossless size
+# blocking + salt) under the value gate at bounded cost: ~1/4 of the pairs
+# (mod 2 — the gate runs at sf0.01 where the slice is ~250 docs; wider
+# moduli leave the slice with zero >=0.2 pairs, a trivially-green row)
+NJ_SLICE_MOD = 2
+
+
+def q_docs_ngram_jaccard_block(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % NJ_SLICE_MOD == 0)
+    return ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_cols=("lang",))
+
+
+def _ngram_jaccard_block_sql() -> str:
     toks = SQL_TOKENS.format(x="lower(text)")
     th = SQL_TOKEN_HASH.format(t="g")
     n = 3
     return f"""
-WITH toksrc AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+WITH toksrc AS (SELECT doc_id, lang, {toks} AS toks FROM documents
+                WHERE doc_id % {NJ_SLICE_MOD} = 0),
 grams AS (
   SELECT doc_id, lang,
     CASE WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
@@ -1099,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash": q_docs_simhash,
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
+        "docs_ngram_jaccard_block": q_docs_ngram_jaccard_block,
         # embeddings: similarity search
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1142,6 +1188,7 @@ SELECT id, out_deg, rk FROM (
         "docs_simhash": _simhash_sql(),
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
+        "docs_ngram_jaccard_block": _ngram_jaccard_block_sql(),
         "emb_knn_bruteforce": KNN_BF_SQL,
         "emb_knn_lsh": _knn_lsh_sql(),
         "emb_neardup_pairs": _neardup_sql(),

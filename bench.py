@@ -235,9 +235,14 @@ def main() -> None:
     qs = entrymod.queries()
     per_query: dict[str, float] = {}
     pr_stats: dict = {}
-    # this sandbox VM shows bursty external contention (measured up to 28x
-    # one-off inflation on a 13s query); every non-iterative query is run
-    # twice and the minimum recorded — same protocol as the scaling section
+    # This sandbox VM shows bursty external contention (measured up to 28x
+    # one-off inflation on a 13s query). Round-2's guard was INVERTED — a
+    # burst that pushed rep 1 past the threshold skipped the retry, locking
+    # the artifact into the record (BENCH_r02: 242s recorded where ~12s
+    # reproduces). Protocol now: ALWAYS >= 2 reps per non-iterative query,
+    # a 3rd if the first two disagree by > 1.4x (and the query is not
+    # pathologically long), record the minimum. Iterative queries amortize
+    # bursts across supersteps and run once, instrumented.
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.monotonic()
@@ -260,13 +265,20 @@ def main() -> None:
                     "supersteps_per_sec": round(res.supersteps / wall, 4),
                 }
             else:
-                fn(spark, sf_dir).count()
-                rep1 = time.monotonic() - t0
-                if rep1 < 30.0:  # long queries amortize bursts themselves
+                reps: list[float] = []
+                while True:
                     t1 = time.monotonic()
                     fn(spark, sf_dir).count()
-                    rep1 = min(rep1, time.monotonic() - t1)
-                per_query[name] = round(rep1, 3)
+                    reps.append(time.monotonic() - t1)
+                    if len(reps) < 2:
+                        continue
+                    if len(reps) >= 3:
+                        break
+                    if max(reps) / max(min(reps), 1e-9) <= 1.4:
+                        break  # two reps agree — burst-free
+                    if min(reps) > 120.0:
+                        break  # genuinely heavy; don't triple the cost
+                per_query[name] = round(min(reps), 3)
                 continue
         except Exception as ex:  # record failures, don't die mid-bench
             per_query[name] = -1.0
@@ -297,32 +309,54 @@ def main() -> None:
     # the CPU-bound control probe below separates the two).
     scale = {}
     try:
-        # one run per level; the per-run min_step (minimum superstep wall
-        # of the 4 supersteps) is the burst-free steady-state estimate on
-        # this VM, which shows bursty external contention
-        reps = [
-            (scaling_run_subprocess(1, 16), scaling_run_subprocess(4, 16)),
+        # Round-2's single-pair protocol did not reproduce: the 1-core
+        # min-step was stable across four independent sessions (37.4-37.5s)
+        # but the 4-core leg scattered 9.8/14.6/21.4s — one run absorbs
+        # whatever contention burst is live. Protocol now (per the round-2
+        # adjudication): INTERLEAVED A/B/A/B reps (>= 3 each, fresh JVM per
+        # rep), per-rep min-superstep as the burst-free estimate, and the
+        # MEDIAN of those mins per level as the headline — with the per-pair
+        # efficiency spread reported alongside so the number's stability is
+        # visible in the record.
+        n_reps = int(os.environ.get("MOMG_BENCH_SCALE_REPS", "3"))
+        pairs = []
+        for _ in range(n_reps):
+            a = scaling_run_subprocess(1, 16)
+            b = scaling_run_subprocess(4, 16)
+            pairs.append((a, b))
+        med = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else (  # noqa: E731
+            sorted(xs)[len(xs) // 2 - 1] + sorted(xs)[len(xs) // 2]) / 2.0
+        small_mins = [a["min_step_sec"] for a, _ in pairs]
+        big_mins = [b["min_step_sec"] for _, b in pairs]
+        pair_effs = [
+            round(a["min_step_sec"] / b["min_step_sec"] / 4.0, 3) for a, b in pairs
         ]
-        small = min((r[0] for r in reps), key=lambda r: r["wall_sec"])
-        big = min((r[1] for r in reps), key=lambda r: r["wall_sec"])
+        small = min((a for a, _ in pairs), key=lambda r: r["wall_sec"])
+        big = min((b for _, b in pairs), key=lambda r: r["wall_sec"])
         mid_small = scaling_run_subprocess(2, 16)
         mid_big = scaling_run_subprocess(8, 16)
         full = scaling_run_subprocess(cpus, max(16, min(24, cpus)))
         speedup = small["wall_sec"] / big["wall_sec"]
-        steady_small = min(r[0]["min_step_sec"] for r in reps)
-        steady_big = min(r[1]["min_step_sec"] for r in reps)
         scale = {
             "job": f"pagerank tol=0 x{SCALE_ITERS} supersteps, {SCALE_EDGES} synthetic edges",
+            "protocol": f"interleaved A/B x{n_reps} pairs, fresh JVM per rep, "
+                        "median of per-rep min-superstep walls",
             "small": small,
             "big": big,
+            "reps": {
+                "small_min_steps": [round(x, 3) for x in small_mins],
+                "big_min_steps": [round(x, 3) for x in big_mins],
+                "pair_efficiencies": pair_effs,
+            },
             "mid_small": mid_small,
             "mid_big": mid_big,
             "full_machine": full,
             "speedup": round(speedup, 3),
             "core_ratio": 4.0,
             "scaling_efficiency": round(speedup / 4.0, 3),
-            "steady_state_speedup": round(steady_small / steady_big, 3),
-            "steady_state_efficiency": round(steady_small / steady_big / 4.0, 3),
+            "steady_state_speedup": round(med(small_mins) / med(big_mins), 3),
+            "steady_state_efficiency": round(med(small_mins) / med(big_mins) / 4.0, 3),
+            "efficiency_spread": [min(pair_effs), max(pair_effs)],
             "secondary_2_to_8_efficiency": round(
                 mid_small["wall_sec"] / mid_big["wall_sec"] / 4.0, 3
             ),
@@ -363,7 +397,14 @@ def main() -> None:
         "skew": skew,
     }
     write_md(sf_dir, cpus, per_query, pr_stats, scale, skew)
-    print(json.dumps(out))
+    # belt and braces for the driver's parser: the JSON goes to a file AND
+    # is printed as the final stdout line (progress bars are disabled in
+    # session.py so the tail stays clean)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bench.json", "w") as f:
+        json.dump(out, f)
+    sys.stdout.flush()
+    print(json.dumps(out), flush=True)
 
 
 def write_md(sf_dir, cpus, per_query, pr_stats, scale, skew) -> None:
@@ -410,8 +451,11 @@ def write_md(sf_dir, cpus, per_query, pr_stats, scale, skew) -> None:
             "that hit single runs on this shared VM)",
             f"- **steady-state scaling efficiency: "
             f"{scale['steady_state_efficiency']}** (north-rule target ≥ 0.8; "
-            "ratio of the minimum per-superstep wall at each level — the "
-            "burst-free estimate of the engine's own scalability)",
+            f"protocol: {scale.get('protocol', 'single pair')}). Per-rep "
+            f"min-superstep walls — 1-core: {scale.get('reps', {}).get('small_min_steps')}, "
+            f"4-core: {scale.get('reps', {}).get('big_min_steps')}; per-pair "
+            f"efficiencies {scale.get('reps', {}).get('pair_efficiencies')} "
+            f"(spread {scale.get('efficiency_spread')}).",
             f"- secondary 2→8-core pair efficiency: "
             f"{scale.get('secondary_2_to_8_efficiency')} — higher core counts "
             "increasingly share this one VM's memory subsystem (see probe below)",

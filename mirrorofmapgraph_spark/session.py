@@ -28,6 +28,10 @@ DEFAULT_CONFS = {
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    # keep stdout machine-readable: the bench driver parses the LAST stdout
+    # line as JSON, and console progress bars emitted megabytes of control
+    # characters that truncated the tail capture (BENCH_r02 "parsed": null)
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

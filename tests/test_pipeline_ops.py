@@ -457,3 +457,43 @@ def test_simhash_band_layout_adapts_and_validates():
         simhash_band_layout(32)
     with pytest.raises(ValueError):
         simhash_band_layout(-1)
+
+
+def test_candidate_verify_composition_superset(spark):
+    """The composed pipeline (minhash_candidates -> verify_pairs) must find
+    every pair the standalone exact operator finds on a corpus with true
+    near-dups — i.e. LSH recall at the entry parameters covers the
+    threshold band (deterministic: fixed texts, fixed seed)."""
+    from mirrorofmapgraph_spark.operators.dedup import minhash_candidates, verify_pairs
+
+    import random as _random
+
+    rng = _random.Random(42)
+    vocab = [f"word{i}" for i in range(200)]
+    texts = []
+    for i in range(12):  # 12 base docs + a high-jaccard variant of each
+        base = [rng.choice(vocab) for _ in range(40)]
+        var = list(base)
+        for j in rng.sample(range(40), 3):  # 3-token edit -> jaccard ~0.8
+            var[j] = rng.choice(vocab)
+        texts.append(" ".join(base))
+        texts.append(" ".join(var))
+    texts += [" ".join(rng.choice(vocab) for _ in range(40)) for _ in range(20)]
+    d = make_docs(spark, texts)
+
+    threshold, ngram = 0.5, 3
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(d, ngram=ngram, threshold=threshold).collect()
+    }
+    assert len(exact) >= 10  # the fixture really contains near-dup pairs
+    cand = minhash_candidates(d, num_perm=16, bands=8, ngram=ngram, seed=1,
+                              max_bucket=64)
+    composed = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in verify_pairs(d, cand, ngram=ngram, threshold=threshold).collect()
+    }
+    # verify is exact, so composed <= exact values-wise; recall check is
+    # the real assertion: every exact pair must be recovered
+    assert set(composed) == set(exact)
+    assert composed == exact
