@@ -44,6 +44,10 @@ def pagerank_program(damping: float = 0.85, tol: float = 1e-6) -> GASProgram:
         # leave frontier when |Δ| < tol (:271-277)
         changed=lambda df: F.col("_in_frontier")
         & (F.abs(F.col("_new_rank") - F.col("rank")) >= F.lit(tol)),
+        # all-changed regime test = "every vertex WITH out-edges changed"
+        # (dangling vertices freeze after step 1 on real link graphs and
+        # must not disable the all-receivers fast path / superstep fusion)
+        has_out_edges=lambda df: F.col("out_deg") > 0,
     )
 
 

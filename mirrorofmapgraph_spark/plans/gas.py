@@ -91,6 +91,14 @@ class GASProgram:
     #: reference's gatherOverEdges policy selector (csr_problem.cuh:68-91);
     #: ALL_EDGES composes as symmetrize() upstream.
     gather_dir: str = "in"
+    #: pull mode, optional: predicate over the applied frame marking
+    #: vertices that HAVE outgoing edges along the gather direction (e.g.
+    #: PageRank's out_deg > 0). When set, the all-changed regime test is
+    #: "every sender changed" instead of "every vertex changed" — exact
+    #: (next frontier = all receivers iff all senders changed) and robust
+    #: on real link graphs where dangling vertices stop changing after
+    #: step 1 and would otherwise disable the fast path + fusion forever.
+    has_out_edges: Callable[[DataFrame], Column] | None = None
 
 
 @dataclass
@@ -145,6 +153,7 @@ class GASEngine:
         checkpoint_every: int = 0,
         collect_metrics: bool = True,
         num_partitions: int | None = None,
+        fuse_supersteps: int = 1,
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -155,6 +164,18 @@ class GASEngine:
         #: explicit num_partitions pins the loop partitioning; None defers
         #: to _ensure_partitions (edge-count-based auto-sizing).
         self.num_partitions = num_partitions
+        #: pull-mode all-changed regime: chain up to this many gather+apply
+        #: supersteps into ONE job (see _run_fused_block). 1 disables —
+        #: the measured default: each chained superstep references the
+        #: previous state subtree twice (gather join + apply join), so the
+        #: logical plan doubles per fused step, and in local mode the
+        #: planning + stage overhead of the 2^k-node plan exceeds the
+        #: per-job fixed cost it amortizes (sf0.1 PageRank: k=3 ran
+        #: ~100-109 s vs ~70-87 s sequential). The option remains for
+        #: cluster deployments where driver/scheduler round-trips per job
+        #: dominate; results are exactly equivalent either way (validated
+        #: per-block via observations, tested).
+        self.fuse_supersteps = fuse_supersteps
         self._edges_raw = edges
         self._edges_by: dict[str, DataFrame] = {}
 
@@ -239,6 +260,35 @@ class GASEngine:
     #: GATHER_IN_EDGES, "src" for GATHER_OUT_EDGES), computed once each
     _all_recv: dict = None
     _all_recv_count: dict = None
+    #: "all senders changed" regime refinement, set per run() from
+    #: program.has_out_edges (see GASProgram)
+    _sender_pred = None
+    _n_senders: int | None = None
+
+    def _observe_applied(self, applied: DataFrame):
+        """Attach the per-superstep metric observation (changed count,
+        messages, and — when the program declares has_out_edges — the
+        changed-sender count driving the all-changed regime test)."""
+        obs = Observation()
+        exprs = [
+            F.sum(F.col("_changed").cast("long")).alias("ch"),
+            F.sum("_msg_cnt").alias("tr"),
+        ]
+        if self._sender_pred is not None:
+            exprs.append(
+                F.sum(
+                    (F.col("_changed") & self._sender_pred(applied)).cast("long")
+                ).alias("chs")
+            )
+        return applied.observe(obs, *exprs), obs
+
+    def _all_changed(self, row: dict) -> bool:
+        """All-changed regime: next frontier provably equals the constant
+        all-receivers set. Exact form: every sender changed (needs the
+        program's has_out_edges predicate); fallback: every vertex changed."""
+        if self._n_senders is not None and "chs" in row:
+            return int(row["chs"] or 0) >= self._n_senders
+        return int(row["ch"] or 0) >= self._n_vertices
 
     def _all_receivers(self, agg_key: str) -> DataFrame:
         """Constant frontier 'every vertex that can receive a gather
@@ -400,10 +450,59 @@ class GASEngine:
         frontier = self._cut(frontier)
         frontier_size = frontier.count()
         self._n_vertices = vertices.count()
+        # "all senders changed" refinement of the all-changed regime test
+        # (see GASProgram.has_out_edges): count the distinct gather-side
+        # senders once per run (cheap: the edge copy is already partitioned
+        # by that key)
+        self._sender_pred = (
+            program.has_out_edges if program.mode == "pull" else None
+        )
+        self._n_senders = None
+        if self._sender_pred is not None:
+            nbr_key = "src" if program.gather_dir == "in" else "dst"
+            self._n_senders = (
+                self.edges_partitioned(nbr_key).select(nbr_key).distinct().count()
+            )
 
         step = start_step
         stale: list[DataFrame] = []  # persisted frames to release (t-2)
+        # Optional superstep fusion (pull mode, all-changed regime): once a
+        # sequential superstep reports all senders changed, chain the next
+        # k gather+apply supersteps into ONE job to amortize per-job fixed
+        # cost. Exactness: per-step Observations ride the single
+        # materialization; a block commits only while every internal step
+        # stayed all-changed (identical frontier semantics), otherwise it
+        # is discarded and the steps replay sequentially from the
+        # committed state. OFF by default — see the fuse_supersteps
+        # constructor note for the measured local-mode tradeoff.
+        fuse_on = self.fuse_supersteps > 1 and program.mode == "pull"
+        prev_changed_all = False
         while frontier_size > 0 and step < max_iter:
+            if fuse_on and prev_changed_all and max_iter - step >= 2:
+                k = min(self.fuse_supersteps, max_iter - step)
+                block = self._run_fused_block(
+                    program, vertices, frontier, frontier_size, k, metrics, step
+                )
+                if block is None:
+                    # left the all-changed regime mid-block: replay
+                    # sequentially from the committed state; the regime
+                    # never re-enters once convergence begins to localize
+                    fuse_on = False
+                else:
+                    vertices, frontier, frontier_size, done, still_all = block
+                    step += done
+                    prev_changed_all = still_all
+                    fuse_on = fuse_on and still_all
+                    if (
+                        self.checkpoint_dir
+                        and self.checkpoint_every
+                        and (step // self.checkpoint_every)
+                        > ((step - done) // self.checkpoint_every)
+                    ):
+                        self.write_checkpoint(
+                            program.name, step, vertices, frontier, metrics
+                        )
+                    continue
             t0 = time.monotonic()
             applied = superstep_fn(program, vertices, frontier, frontier_size)
             # Ping-pong buffer swap + lineage cut. The superstep plan embeds
@@ -416,12 +515,7 @@ class GASEngine:
             # readback feeds metrics and unlocks the changed==ALL expand
             # fast path. collect_metrics is kept for API stability but the
             # instrumentation is now free either way.
-            obs = Observation()
-            applied = applied.observe(
-                obs,
-                F.sum(F.col("_changed").cast("long")).alias("ch"),
-                F.sum("_msg_cnt").alias("tr"),
-            )
+            applied, obs = self._observe_applied(applied)
             # the lineage+stats cut is the reference's reset_gather/
             # double-buffer analogue (csr_problem.cuh:180-183).
             applied = self._cut(applied)
@@ -429,8 +523,8 @@ class GASEngine:
             row = self._read_observation(obs, applied)
             changed_n = int(row["ch"] or 0)
             traversed = int(row["tr"] or 0)
-            if program.mode == "pull" and changed_n >= self._n_vertices:
-                # every vertex changed -> next frontier is the constant set
+            if program.mode == "pull" and self._all_changed(row):
+                # every sender changed -> next frontier is the constant set
                 # of possible gather receivers; skip the edge-sized expand
                 # shuffle entirely (dominant regime for all-vertex programs
                 # like PageRank until convergence begins to localize).
@@ -442,6 +536,7 @@ class GASEngine:
                     StorageLevel.MEMORY_AND_DISK
                 )
                 frontier_size = frontier.count()  # convergence readback
+            prev_changed_all = self._all_changed(row)
             step += 1
             wall_ms = (time.monotonic() - t0) * 1000.0
             metrics.append(
@@ -473,7 +568,85 @@ class GASEngine:
             converged=frontier_size == 0,
         )
 
-    def _read_observation(self, obs: Observation, applied_ck: DataFrame) -> dict:
+    def _run_fused_block(
+        self,
+        program: GASProgram,
+        vertices: DataFrame,
+        frontier: DataFrame,
+        frontier_size: int,
+        k: int,
+        metrics: list[SuperstepMetrics],
+        step0: int,
+    ) -> tuple[DataFrame, DataFrame, int, int, bool] | None:
+        """Run k pull-mode supersteps as ONE chained plan + materialization.
+
+        Valid only while the all-changed regime holds: step i+1's frontier
+        is assumed to be the constant all-receivers set, which sequential
+        execution would use iff step i reported changed == |V|. Per-step
+        Observations ride the single materialization and are checked after
+        the fact:
+        - every step all-changed -> commit all k (next frontier =
+          all-receivers, fusion continues);
+        - only the LAST step partial -> the state is still exact (a step's
+          own changed count only affects the frontier AFTER it), so commit
+          all k and compute the next frontier from the final _changed
+          flags (fusion stops);
+        - an EARLIER step partial -> the block diverged; discard it and
+          let the caller replay sequentially from the committed state (at
+          most one discarded block per run, bounded waste).
+
+        Returns (vertices, frontier, frontier_size, steps_done,
+        still_all_changed) or None when discarded.
+        """
+        t0 = time.monotonic()
+        agg_key = "dst" if program.gather_dir == "in" else "src"
+        all_recv = self._all_receivers(agg_key)
+        all_recv_n = self._all_recv_count[agg_key]
+        cur, f, fs = vertices, frontier, frontier_size
+        observations: list[Observation] = []
+        for i in range(k):
+            applied = self._superstep_pull(program, cur, f, fs)
+            applied, obs = self._observe_applied(applied)
+            observations.append(obs)
+            cur = applied if i == k - 1 else applied.drop("_changed", "_msg_cnt")
+            f, fs = all_recv, all_recv_n
+        final = self._cut(cur)
+        rows = [self._read_observation(o, None) for o in observations]
+        if any(r is None for r in rows):
+            return None  # metrics did not surface; replay sequentially
+        changed = [int(r["ch"] or 0) for r in rows]
+        changed_all = [self._all_changed(r) for r in rows]
+        if not all(changed_all[:-1]):
+            return None  # diverged mid-block
+        wall_ms = (time.monotonic() - t0) * 1000.0
+        new_vertices = final.drop("_changed", "_msg_cnt")
+        last_all = changed_all[-1]
+        if last_all:
+            next_frontier, next_size = all_recv, all_recv_n
+        else:
+            next_frontier = self._next_frontier(program, final, all_recv_n).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            next_size = next_frontier.count()
+        for i in range(k):
+            fsz = (all_recv_n if last_all else next_size) if i == k - 1 else all_recv_n
+            metrics.append(
+                SuperstepMetrics(
+                    step0 + i + 1, fsz, int(rows[i]["tr"] or 0), changed[i],
+                    wall_ms / k,
+                )
+            )
+        if os.environ.get("MOMG_GAS_DEBUG"):
+            print(
+                f"[gas:{program.name}] fused block steps={step0 + 1}..{step0 + k} "
+                f"changed={changed} ms={wall_ms:.0f}",
+                flush=True,
+            )
+        return new_vertices, next_frontier, next_size, k, last_all
+
+    def _read_observation(
+        self, obs: Observation, applied_ck: DataFrame | None
+    ) -> dict | None:
         """Read the per-superstep metrics with a bounded wait.
 
         The observation normally fires with the eager ``localCheckpoint``
@@ -493,6 +666,8 @@ class GASEngine:
         t.join(timeout=30.0)
         if holder:
             return holder
+        if applied_ck is None:
+            return None  # fused-block caller treats missing metrics as invalid
         # the daemon thread stays parked on obs.get (harmless); recompute
         agg = applied_ck.agg(
             F.sum(F.col("_changed").cast("long")).alias("ch"),

@@ -126,3 +126,46 @@ def test_metrics_recorded(spark, make_edges, make_vertices):
     assert len(res.metrics) == res.supersteps
     m0 = res.metrics[0]
     assert m0.edges_traversed > 0 and m0.wall_ms > 0
+
+
+def test_fused_supersteps_equivalent(spark, make_edges, make_vertices):
+    """Optional superstep fusion (fuse_supersteps > 1) must produce the
+    same ranks, superstep count, and convergence as sequential execution —
+    blocks commit only while provably in the all-changed regime, and a
+    diverged block is discarded and replayed (engine falls back)."""
+    from mirrorofmapgraph_spark.plans.gas import GASEngine
+
+    edges = make_edges(MULTI)
+    out = {}
+    for k in (1, 4):
+        res = pagerank(
+            spark, edges, tol=1e-8, max_iter=60, damping=0.6,
+            engine=GASEngine(spark, edges, fuse_supersteps=k, collect_metrics=False),
+        )
+        out[k] = (
+            res.supersteps,
+            res.converged,
+            {r["id"]: r["rank"] for r in res.vertices.collect()},
+        )
+    assert out[1][0] == out[4][0]
+    assert out[1][1] == out[4][1]
+    assert set(out[1][2]) == set(out[4][2])
+    for i, v in out[1][2].items():
+        assert math.isclose(v, out[4][2][i], rel_tol=0, abs_tol=1e-9)
+
+
+def test_all_changed_regime_counts_senders_only(spark, make_edges):
+    """A graph with dangling (no-out-edge) vertices: the frozen danglings
+    must not disable the all-receivers fast path — PageRank still
+    converges with the same values as the numpy oracle."""
+    # 0->1->2->0 cycle plus dangling sinks 3,4 fed by the cycle
+    edges = make_edges([(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+                        (0, 3, 1.0), (1, 4, 1.0)])
+    res = pagerank(spark, edges, tol=1e-8, max_iter=100, damping=0.6,
+                   collect_metrics=False)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    want, _ = pagerank_ref(5, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+                               (0, 3, 1.0), (1, 4, 1.0)], damping=0.6, tol=1e-8)
+    for i in range(5):
+        assert math.isclose(got[i], want[i], rel_tol=0, abs_tol=1e-6)
