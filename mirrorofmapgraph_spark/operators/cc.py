@@ -9,8 +9,13 @@ Reference: Algorithms/CC/cc.h —
 - component id = min vertex id in the component; exact equality checked
   (cc.cu:111-130).
 
-Spark-first: symmetrize the edge table once (the reference's CSC+CSR dual
-traversal), then push-mode min-combiner supersteps. Exact fixpoint.
+Spark-first: push-mode min-combiner supersteps over BOTH directions of
+the ONE raw edge table (GASEngine expand_dir="all" — the reference's
+CSC+CSR dual traversal, enactor_vertex_centric.cuh:574-687, without a
+second device copy). The min combiner is duplicate-insensitive, so no
+symmetrize/dedup build shuffle is needed at all and the edge table is
+persisted exactly once; ``pre_symmetrized=True`` keeps the legacy path
+for callers that already hold a symmetric table.
 """
 
 from __future__ import annotations
@@ -19,13 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.gas import GASEngine, GASProgram, GASResult
-from ..sources.edges import symmetrize, vertex_frame
+from ..sources.edges import vertex_frame
 
 
-def cc_program() -> GASProgram:
+def cc_program(expand_dir: str = "all") -> GASProgram:
     return GASProgram(
         name="cc",
         mode="push",
+        expand_dir=expand_dir,
         state_cols=("label",),
         message=lambda df: F.col("label"),  # push my label (cc.h:289-302)
         combiner=F.min,  # contract atomicMin (cc.h:328-342)
@@ -54,11 +60,15 @@ def connected_components(
     reference, where every vertex 0..n-1 exists; cc.cu:184-192 counts
     components as distinct labels).
     """
-    sym = edges if pre_symmetrized else symmetrize(edges)
+    # pre_symmetrized tables already hold both directions -> expand "out";
+    # raw directed tables are traversed in both directions natively.
+    expand_dir = "out" if pre_symmetrized else "all"
     if engine is None:
-        engine = GASEngine(spark, sym, **engine_kwargs)
+        engine = GASEngine(spark, edges, **engine_kwargs)
     if vertices is None:
-        vertices = vertex_frame(sym)
+        vertices = vertex_frame(edges)
     v0 = vertices.select("id", F.col("id").alias("label"))
     frontier0 = vertices.select("id")  # srcVertex() == ALL (cc.h:68-71)
-    return engine.run(cc_program(), v0, frontier0, max_iter=max_iter, resume=resume)
+    return engine.run(
+        cc_program(expand_dir), v0, frontier0, max_iter=max_iter, resume=resume
+    )

@@ -73,7 +73,8 @@ class GASProgram:
     message: Callable[[DataFrame], Column]
     #: commutative-associative combiner over messages per dst
     #: (gather_sum analogue): e.g. lambda c: F.sum(c) / F.min(c).
-    combiner: Callable[[Column], Column]
+    #: May be None when ``aggregate_fn`` (below) is provided instead.
+    combiner: Callable[[Column], Column] | None
     #: new-state expressions given vertices ⋈ gathered. Input frame has the
     #: old state cols plus ``_gathered`` (null when no message arrived) and
     #: ``_in_frontier`` (this vertex is in the apply scope this superstep).
@@ -86,10 +87,12 @@ class GASProgram:
     #: (expand_edge's conditional emit, sssp.h:342-358).
     message_filter: Callable[[DataFrame], Column] | None = None
     #: pull mode only: which edges a vertex gathers over — "in" (default:
-    #: v aggregates its in-neighbors' state, GATHER_IN_EDGES) or "out"
-    #: (v aggregates its out-neighbors' state, GATHER_OUT_EDGES). The
-    #: reference's gatherOverEdges policy selector (csr_problem.cuh:68-91);
-    #: ALL_EDGES composes as symmetrize() upstream.
+    #: v aggregates its in-neighbors' state, GATHER_IN_EDGES), "out"
+    #: (v aggregates its out-neighbors' state, GATHER_OUT_EDGES), or
+    #: "all" (both directions of the one table, GATHER_ALL_EDGES — see
+    #: GASEngine._oriented; for exact undirected multiset semantics feed
+    #: a canonical_undirected table). The reference's gatherOverEdges
+    #: policy selector (csr_problem.cuh:68-91).
     gather_dir: str = "in"
     #: pull mode, optional: predicate over the applied frame marking
     #: vertices that HAVE outgoing edges along the gather direction (e.g.
@@ -99,6 +102,22 @@ class GASProgram:
     #: on real link graphs where dangling vertices stop changing after
     #: step 1 and would otherwise disable the fast path + fusion forever.
     has_out_edges: Callable[[DataFrame], Column] | None = None
+    #: push mode: which edges frontier vertices expand over — "out"
+    #: (default), "in" (reversed), or "all" (BOTH directions of the one
+    #: edge table; see GASEngine._oriented). The reference's
+    #: expandOverEdges policy (csr_problem.cuh:68-91). With "all", each
+    #: edge row is traversed in both directions, so reciprocal directed
+    #: pairs deliver twice — pass a ``canonical_undirected`` edge table
+    #: for exact undirected semantics, or rely on a duplicate-insensitive
+    #: combiner (min/max) with raw directed edges.
+    expand_dir: str = "out"
+    #: optional replacement for the combiner-based gather aggregation:
+    #: (msgs: DataFrame(src, dst, _msg)) -> DataFrame(dst, _gathered,
+    #: _msg_cnt). For gathers that are NOT single-column algebraic
+    #: aggregates (e.g. label propagation's per-label count + argmax,
+    #: which needs a two-stage groupBy). Both stages should remain
+    #: map-side-partial friendly. ``combiner`` is ignored when set.
+    aggregate_fn: Callable[[DataFrame], DataFrame] | None = None
 
 
 @dataclass
@@ -154,6 +173,7 @@ class GASEngine:
         collect_metrics: bool = True,
         num_partitions: int | None = None,
         fuse_supersteps: int = 1,
+        dual_index: bool = False,
     ) -> None:
         self.spark = spark
         self.broadcast_threshold = broadcast_threshold
@@ -176,6 +196,14 @@ class GASEngine:
         #: dominate; results are exactly equivalent either way (validated
         #: per-block via observations, tested).
         self.fuse_supersteps = fuse_supersteps
+        #: "both"-direction traversal: False (default) runs the reverse
+        #: pass over the SAME src-partitioned copy (persisted once; the
+        #: reverse join rides the frontier broadcast, or shuffles edges on
+        #: the rare all-frontier supersteps). True builds a second,
+        #: dst-partitioned copy — the reference's CSR+CSC dual device
+        #: layout (csr_problem.cuh:154-158), exchange-free both ways at
+        #: 2x the persisted bytes.
+        self.dual_index = dual_index
         self._edges_raw = edges
         self._edges_by: dict[str, DataFrame] = {}
 
@@ -249,6 +277,53 @@ class GASEngine:
             self._edges_by[key] = df
         return self._edges_by[key]
 
+    # -- traversal orientation ---------------------------------------------
+
+    @staticmethod
+    def _rev(edges: DataFrame) -> DataFrame:
+        """Reverse view of an edge frame — a PROJECTION of the same
+        persisted data (src/dst swapped), not a second materialization."""
+        cols = [F.col("dst").alias("src"), F.col("src").alias("dst")]
+        if "w" in edges.columns:
+            cols.append(F.col("w"))
+        return edges.select(*cols)
+
+    @staticmethod
+    def _dir_key(program: GASProgram) -> str:
+        """Traversal direction key: messages always flow src -> dst of the
+        ORIENTED frames. "fwd" = table orientation, "rev" = reversed,
+        "both" = two passes (the reference's CSR+CSC dual traversal,
+        enactor_vertex_centric.cuh:574-687 expand, :1288-1487 gather,
+        partial aggregates combined by the shared groupBy)."""
+        if program.mode == "pull":
+            return {"in": "fwd", "out": "rev", "all": "both"}[program.gather_dir]
+        return {"out": "fwd", "in": "rev", "all": "both"}[program.expand_dir]
+
+    def _oriented(self, dkey: str) -> list[DataFrame]:
+        """Edge frames in traversal orientation for a direction key.
+
+        - "fwd": the src-partitioned copy (CSR analogue);
+        - "rev": the dst-partitioned copy reversed (CSC analogue — the
+          reversed view is partitioned by its NEW src, so the state join
+          stays exchange-free);
+        - "both": forward pass + reverse pass. Default: both passes over
+          the ONE src-partitioned copy (edge table persisted once — at
+          10^12 edges a second copy doubles the biggest table in the
+          system); the reverse-pass state join rides the frontier
+          broadcast hint, or shuffles edge-sized data on all-frontier
+          supersteps. ``dual_index=True`` trades 2x persisted bytes for
+          exchange-free joins both ways.
+        """
+        if dkey == "fwd":
+            return [self.edges_partitioned("src")]
+        if dkey == "rev":
+            return [self._rev(self.edges_partitioned("dst"))]
+        if dkey == "both":
+            fwd = self.edges_partitioned("src")
+            rev = self._rev(self.edges_partitioned("dst") if self.dual_index else fwd)
+            return [fwd, rev]
+        raise ValueError(f"unknown direction key {dkey!r}")
+
     def unpersist(self) -> None:
         for df in self._edges_by.values():
             df.unpersist()
@@ -290,21 +365,21 @@ class GASEngine:
             return int(row["chs"] or 0) >= self._n_senders
         return int(row["ch"] or 0) >= self._n_vertices
 
-    def _all_receivers(self, agg_key: str) -> DataFrame:
+    def _all_receivers(self, dkey: str) -> DataFrame:
         """Constant frontier 'every vertex that can receive a gather
-        message' = distinct agg-side endpoint (computed once per key)."""
+        message' = distinct dst over the oriented frames (computed once
+        per direction key)."""
         if self._all_recv is None:
             self._all_recv, self._all_recv_count = {}, {}
-        if agg_key not in self._all_recv:
-            nbr_key = "src" if agg_key == "dst" else "dst"
-            df = self._cut(
-                self.edges_partitioned(nbr_key)
-                .select(F.col(agg_key).alias("id"))
-                .distinct()
-            )
-            self._all_recv[agg_key] = df
-            self._all_recv_count[agg_key] = df.count()
-        return self._all_recv[agg_key]
+        if dkey not in self._all_recv:
+            frames = self._oriented(dkey)
+            df = frames[0].select(F.col("dst").alias("id"))
+            for fr in frames[1:]:
+                df = df.unionByName(fr.select(F.col("dst").alias("id")))
+            df = self._cut(df.distinct())
+            self._all_recv[dkey] = df
+            self._all_recv_count[dkey] = df.count()
+        return self._all_recv[dkey]
 
     # -- checkpoint/resume -------------------------------------------------
 
@@ -401,8 +476,9 @@ class GASEngine:
         superstep_fn = (
             self._superstep_pull if program.mode == "pull" else self._superstep_push
         )
-        # Pre-partition the big side once, before entering the loop.
-        self.edges_partitioned("src")
+        # Pre-partition the big side once, before entering the loop (both
+        # copies only when the direction needs them AND dual_index opts in).
+        self._oriented(self._dir_key(program))
 
         # Loop-scoped physical tuning, restored afterwards:
         # - AQE off inside the superstep loop: every superstep is a fresh
@@ -459,10 +535,11 @@ class GASEngine:
         )
         self._n_senders = None
         if self._sender_pred is not None:
-            nbr_key = "src" if program.gather_dir == "in" else "dst"
-            self._n_senders = (
-                self.edges_partitioned(nbr_key).select(nbr_key).distinct().count()
-            )
+            frames = self._oriented(self._dir_key(program))
+            senders = frames[0].select("src")
+            for fr in frames[1:]:
+                senders = senders.unionByName(fr.select("src"))
+            self._n_senders = senders.distinct().count()
 
         step = start_step
         stale: list[DataFrame] = []  # persisted frames to release (t-2)
@@ -528,9 +605,9 @@ class GASEngine:
                 # of possible gather receivers; skip the edge-sized expand
                 # shuffle entirely (dominant regime for all-vertex programs
                 # like PageRank until convergence begins to localize).
-                agg_key = "dst" if program.gather_dir == "in" else "src"
-                frontier = self._all_receivers(agg_key)
-                frontier_size = self._all_recv_count[agg_key]
+                dkey = self._dir_key(program)
+                frontier = self._all_receivers(dkey)
+                frontier_size = self._all_recv_count[dkey]
             else:
                 frontier = self._next_frontier(program, applied, frontier_size).persist(
                     StorageLevel.MEMORY_AND_DISK
@@ -599,9 +676,9 @@ class GASEngine:
         still_all_changed) or None when discarded.
         """
         t0 = time.monotonic()
-        agg_key = "dst" if program.gather_dir == "in" else "src"
-        all_recv = self._all_receivers(agg_key)
-        all_recv_n = self._all_recv_count[agg_key]
+        dkey = self._dir_key(program)
+        all_recv = self._all_receivers(dkey)
+        all_recv_n = self._all_recv_count[dkey]
         cur, f, fs = vertices, frontier, frontier_size
         observations: list[Observation] = []
         for i in range(k):
@@ -682,25 +759,27 @@ class GASEngine:
             return F.broadcast(frontier)
         return frontier
 
-    def _aggregate(
-        self, msgs: DataFrame, program: GASProgram, agg_key: str = "dst"
-    ) -> DataFrame:
-        """groupBy(agg_key).agg(combiner) with optional two-level salting."""
+    def _aggregate(self, msgs: DataFrame, program: GASProgram) -> DataFrame:
+        """Gather aggregation: (src, dst, _msg) -> (dst, _gathered,
+        _msg_cnt). Default: groupBy(dst).agg(combiner) with optional
+        two-level salting; programs with a non-algebraic gather supply
+        ``aggregate_fn`` instead."""
+        if program.aggregate_fn is not None:
+            return program.aggregate_fn(msgs)
         val = F.col("_msg")
-        nbr_key = "src" if agg_key == "dst" else "dst"
         if self.salt_buckets > 1:
             partial = (
                 msgs.withColumn(
-                    "_salt", F.pmod(F.xxhash64(nbr_key), F.lit(self.salt_buckets))
+                    "_salt", F.pmod(F.xxhash64("src"), F.lit(self.salt_buckets))
                 )
-                .groupBy(agg_key, "_salt")
+                .groupBy("dst", "_salt")
                 .agg(program.combiner(val).alias("_msg"), F.count("*").alias("_cnt"))
             )
-            return partial.groupBy(agg_key).agg(
+            return partial.groupBy("dst").agg(
                 program.combiner(F.col("_msg")).alias("_gathered"),
                 F.sum("_cnt").alias("_msg_cnt"),
             )
-        return msgs.groupBy(agg_key).agg(
+        return msgs.groupBy("dst").agg(
             program.combiner(val).alias("_gathered"),
             F.count("*").alias("_msg_cnt"),
         )
@@ -712,17 +791,16 @@ class GASEngine:
         gathered: DataFrame,
         frontier: DataFrame,
         frontier_size: int,
-        agg_key: str = "dst",
     ) -> DataFrame:
         """Join gathered values onto vertex state, mark frontier membership,
         and evaluate apply/changed. Returns (id, *state, _msg_cnt, _changed).
 
-        vertices are id-partitioned and gathered is agg_key-partitioned by
+        vertices are id-partitioned and gathered is dst-partitioned by
         the same hash — the join is co-partitioned (no exchange). The
         frontier marker join is skipped entirely when frontier == ALL
         (srcVertex ALL programs spend most supersteps there)."""
         joined = vertices.join(
-            gathered.withColumnRenamed(agg_key, "id"), on="id", how="left"
+            gathered.withColumnRenamed("dst", "id"), on="id", how="left"
         )
         if frontier_size >= self._n_vertices:
             joined = joined.withColumn("_in_frontier", F.lit(True))
@@ -754,49 +832,54 @@ class GASEngine:
         frontier: DataFrame,
         frontier_size: int,
     ) -> DataFrame:
-        # gather_dir: "in" -> read src state, aggregate at dst;
-        #             "out" -> read dst state, aggregate at src.
-        agg_key = "dst" if program.gather_dir == "in" else "src"
-        nbr_key = "src" if program.gather_dir == "in" else "dst"
-        edges = self.edges_partitioned(nbr_key)
+        # Oriented frames: messages always flow src -> dst (gather_dir
+        # "in" = forward table, "out" = reversed view, "all" = both
+        # passes over one table, partial aggregates combined by the shared
+        # groupBy — the reference gathers CSC then CSR and combines with
+        # thrust::transform, enactor:1288-1487).
+        dkey = self._dir_key(program)
+        frames = self._oriented(dkey)
         # GATHER with a three-regime join order — the Spark analogue of the
         # reference's two-phase/dynamic switch (enactor:2694-2702):
         # 1. small frontier: prune edges by a BROADCAST of the frontier
         #    first (touches only the frontier's gathered edges), then fetch
         #    neighbor state;
         # 2. large-but-partial frontier: edges⋈vertices co-partitioned on
-        #    nbr_key==id (no exchange), then shuffle-filter by the frontier;
+        #    src==id (no exchange), then shuffle-filter by the frontier;
         # 3. frontier == ALL (or the constant all-receivers set, which
         #    every message receiver is in by construction): skip the filter
         #    — apply's _in_frontier gate discards the rest, exact same
         #    result for less work.
         is_all = frontier_size >= self._n_vertices or (
-            self._all_recv is not None and frontier is self._all_recv.get(agg_key)
+            self._all_recv is not None and frontier is self._all_recv.get(dkey)
         )
-        if not is_all and frontier_size <= self.broadcast_threshold:
-            touched = edges.join(
-                F.broadcast(frontier.withColumnRenamed("id", agg_key)),
-                on=agg_key,
-                how="inner",
-            )
-            msgs = touched.join(
-                vertices, touched[nbr_key] == vertices["id"], "inner"
-            ).drop("id")
-        else:
-            msgs = edges.join(
-                vertices, edges[nbr_key] == vertices["id"], "inner"
-            ).drop("id")
-            if not is_all:
-                msgs = msgs.join(
-                    frontier.withColumnRenamed("id", agg_key), on=agg_key, how="inner"
+        parts = []
+        for edges in frames:
+            if not is_all and frontier_size <= self.broadcast_threshold:
+                touched = edges.join(
+                    F.broadcast(frontier.withColumnRenamed("id", "dst")),
+                    on="dst",
+                    how="inner",
                 )
-        msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
-        gathered = self._aggregate(msgs, program, agg_key)
+                m = touched.join(
+                    vertices, touched["src"] == vertices["id"], "inner"
+                ).drop("id")
+            else:
+                m = edges.join(
+                    vertices, edges["src"] == vertices["id"], "inner"
+                ).drop("id")
+                if not is_all:
+                    m = m.join(
+                        frontier.withColumnRenamed("id", "dst"), on="dst", how="inner"
+                    )
+            parts.append(
+                m.withColumn("_msg", program.message(m)).select("src", "dst", "_msg")
+            )
+        msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        gathered = self._aggregate(msgs, program)
 
         # APPLY over the frontier only (APPLY_FRONTIER policy).
-        return self._apply(
-            program, vertices, gathered, frontier, frontier_size, agg_key
-        )
+        return self._apply(program, vertices, gathered, frontier, frontier_size)
 
     def _superstep_push(
         self,
@@ -805,16 +888,23 @@ class GASEngine:
         frontier: DataFrame,
         frontier_size: int,
     ) -> DataFrame:
-        edges = self.edges_partitioned("src")
-        # EXPAND: frontier vertices push along out-edges
-        # (expand_edge, sssp.h:315-358); state travels with the frontier.
+        # EXPAND: frontier vertices push along their edges in the
+        # program's expand direction (expand_edge, sssp.h:315-358); state
+        # travels with the frontier. The frontier-state frame is built
+        # once and joined into each oriented pass (broadcast when small).
+        frames = self._oriented(self._dir_key(program))
         frontier_state = self._hint(
             vertices.join(frontier, on="id", how="inner"), frontier_size
         ).withColumnRenamed("id", "src")
-        msgs = edges.join(frontier_state, on="src", how="inner")
-        if program.message_filter is not None:
-            msgs = msgs.filter(program.message_filter(msgs))
-        msgs = msgs.withColumn("_msg", program.message(msgs)).select("src", "dst", "_msg")
+        parts = []
+        for edges in frames:
+            m = edges.join(frontier_state, on="src", how="inner")
+            if program.message_filter is not None:
+                m = m.filter(program.message_filter(m))
+            parts.append(
+                m.withColumn("_msg", program.message(m)).select("src", "dst", "_msg")
+            )
+        msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
         # CONTRACT: exact combiner-per-dst replaces the atomic-min culls
         # (contract_atomic/cta.cuh:200-344).
@@ -830,17 +920,15 @@ class GASEngine:
             # next frontier = vertices whose gather input changed, i.e. the
             # receivers adjacent to changed neighbor-state vertices; exact
             # dedup (the contract culls done exactly: one distinct shuffle).
-            agg_key = "dst" if program.gather_dir == "in" else "src"
-            nbr_key = "src" if agg_key == "dst" else "dst"
-            edges_k = self.edges_partitioned(nbr_key)
-            changed_nbr = applied.filter(F.col("_changed")).select(
-                F.col("id").alias(nbr_key)
+            frames = self._oriented(self._dir_key(program))
+            changed_src = applied.filter(F.col("_changed")).select(
+                F.col("id").alias("src")
             )
-            return (
-                edges_k.join(
-                    self._hint(changed_nbr, frontier_size), on=nbr_key, how="inner"
-                )
-                .select(F.col(agg_key).alias("id"))
-                .distinct()
-            )
+            hinted = self._hint(changed_src, frontier_size)
+            parts = [
+                e.join(hinted, on="src", how="inner").select(F.col("dst").alias("id"))
+                for e in frames
+            ]
+            out = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            return out.distinct()
         return applied.filter(F.col("_changed")).select("id")

@@ -50,6 +50,23 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return canonicalize(edges.unionByName(rev), dedup=True)
 
 
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as canonical (src < dst) pairs, deduped —
+    HALF the rows of ``symmetrize`` for the same semantics when traversed
+    in BOTH directions (GASEngine direction "all"). Each undirected edge
+    is ONE row, so the dual-pass traversal delivers exactly one message
+    per endpoint per undirected edge — identical neighbor multisets to
+    the symmetrized table, at half the persisted bytes and the same
+    single build shuffle. Self-loops are dropped (an undirected self-loop
+    has no distinct endpoint to message)."""
+    canon = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        (F.col("w") if "w" in edges.columns else F.lit(1.0)).cast("double").alias("w"),
+    )
+    return canon.groupBy("src", "dst").agg(F.min("w").alias("w"))
+
+
 def out_degrees(edges: DataFrame) -> DataFrame:
     """DataFrame(id, out_deg). Map-side partial aggregation keeps hub skew
     off the reduce side (each mapper contributes one row per key)."""
