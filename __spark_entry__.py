@@ -172,8 +172,10 @@ def q_labelprop2(spark, sf_dir):
 
 def q_bfs3(spark, sf_dir):
     e = _edges(spark, sf_dir)
-    src = vertex_frame(e).agg(F.min("id")).collect()[0][0]
-    res = bfs(spark, e, int(src), max_iter=3, collect_metrics=False)
+    # source = min vertex id, computed as a 1-row frame broadcast into the
+    # init join — no driver-side collect inside the measured query
+    src = vertex_frame(e).agg(F.min("id").alias("id"))
+    res = bfs(spark, e, src, max_iter=3, collect_metrics=False)
     return res.vertices.filter(F.col("depth") >= 0).select(
         "id", F.col("depth").cast("long").alias("depth")
     )
@@ -181,8 +183,8 @@ def q_bfs3(spark, sf_dir):
 
 def q_sssp3(spark, sf_dir):
     e = _edges(spark, sf_dir)
-    src = vertex_frame(e).agg(F.min("id")).collect()[0][0]
-    res = sssp(spark, e, int(src), max_iter=3, collect_metrics=False)
+    src = vertex_frame(e).agg(F.min("id").alias("id"))
+    res = sssp(spark, e, src, max_iter=3, collect_metrics=False)
     return res.vertices.filter(~F.isnan("dist") & (F.col("dist") != float("inf"))).select(
         "id", F.round("dist", 6).alias("dist")
     )
@@ -227,20 +229,84 @@ def q_triangles_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(_edges(spark, sf_dir))
 
 
+def q_mtx_pagerank3(spark, sf_dir):
+    """Reference fixture parity under the VALUE gate: the whole
+    mtx -> edges -> GAS path (smallRegressionGraphs/small.mtx mirror,
+    reference README:38-44) runs PageRank and is checked against a DuckDB
+    oracle with the 11-edge fixture inlined. Ignores sf_dir by design —
+    the fixture is the reference's own regression graph."""
+    import os as _os
+
+    from mirrorofmapgraph_spark.sources.mtx import read_mtx
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "data", "small.mtx")
+    e = read_mtx(spark, path)
+    res = pagerank(spark, e, tol=0.0, max_iter=3, collect_metrics=False)
+    return res.vertices.select("id", F.round("rank", 6).alias("pr"))
+
+
+# the 11 directed edges of tests/data/small.mtx after the reader's
+# 1-based -> 0-based shift; inlined into the DuckDB oracle so the oracle
+# covers the reader's parse semantics too (weights unused by PageRank)
+MTX_SMALL_EDGES = [(0, 1), (0, 2), (0, 3), (1, 4), (2, 1), (2, 4), (2, 5),
+                   (3, 5), (3, 6), (4, 6), (5, 6)]
+
+
+def _mtx_pagerank3_sql() -> str:
+    vals = ", ".join(f"({s}, {d})" for s, d in MTX_SMALL_EDGES)
+    edges_cte = f"""
+edges AS (SELECT * FROM (VALUES {vals}) AS t(src, dst)),
+verts AS (
+  SELECT DISTINCT id FROM (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+)"""
+    return _pagerank3_sql(edges_cte)
+
+
+INGEST_REPOS = 100
+INGEST_FILES = 2
+INGEST_RING_LINKS = 2
+
+
 def q_ingest_link_edges(spark, sf_dir):
-    # synthetic source-code table (no DuckDB view -> rows-only check)
+    """Synthesize the BASELINE.json-shaped source table, render per-language
+    import statements, and extract the link edges back with the pandas-UDF
+    parser. The oracle states the INTENDED edge list from the same
+    generation arithmetic, so the gate value-checks the whole
+    synthesize -> render -> regex-extract round trip."""
     from mirrorofmapgraph_spark.sources.codegen import synthesize_repo_table
     from mirrorofmapgraph_spark.sources.extract import extract_edges
 
-    src_tbl = synthesize_repo_table(spark, n_repos=100, files_per_repo=2)
+    src_tbl = synthesize_repo_table(
+        spark, n_repos=INGEST_REPOS, files_per_repo=INGEST_FILES,
+        extra_ring_links=INGEST_RING_LINKS,
+    )
     return extract_edges(src_tbl)
+
+
+def _ingest_link_edges_sql() -> str:
+    # mirrors sources/codegen.py synthesize_repo_table's default ring+chord
+    # link structure: v -> (v + k*k) % n for k in 1..extra_ring_links,
+    # self-loops dropped, distinct; key = 'repoNNNN/modMMM'
+    n = INGEST_REPOS * INGEST_FILES
+    f = INGEST_FILES
+    ks = ", ".join(f"({k})" for k in range(1, INGEST_RING_LINKS + 1))
+    return f"""
+WITH verts AS (SELECT range AS v FROM range(0, {n})),
+links AS (
+  SELECT v, (v + k * k) % {n} AS d
+  FROM verts CROSS JOIN (VALUES {ks}) AS t(k)),
+dedup AS (SELECT DISTINCT v, d FROM links WHERE v <> d)
+SELECT printf('repo%04d/mod%03d', v // {f}, v % {f}) AS src_key,
+       printf('repo%04d/mod%03d', d // {f}, d % {f}) AS dst_key
+FROM dedup"""
 
 
 # oracle SQL builders -------------------------------------------------------
 
-def _pagerank3_sql() -> str:
+def _pagerank3_sql(edges_cte: str = EDGES_CTE) -> str:
     deg = "deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src)"
-    body = [f"WITH {EDGES_CTE.strip()},", deg + ",", "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM verts)"]
+    body = [f"WITH {edges_cte.strip()},", deg + ",", "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM verts)"]
     for k in range(1, 4):
         body.append(
             f""",r{k} AS (
@@ -254,18 +320,65 @@ def _pagerank3_sql() -> str:
     return "\n".join(body)
 
 
-def _cc3_sql() -> str:
+def _cc_unrolled_sql(K: int) -> str:
+    """HashMin unrolled K steps. Min-propagation is monotone, so once the
+    fixpoint is reached further (ungated) steps are no-ops — for K >= the
+    converged superstep count this equals the engine's gated fixpoint
+    EXACTLY (integer labels, no float risk)."""
     body = [f"WITH {EDGES_CTE.strip()},", SYM_CTE.strip() + ",",
             "l0 AS (SELECT id, id AS label FROM verts)"]
-    for k in range(1, 4):
+    for k in range(1, K + 1):
         body.append(
-            f""",l{k} AS (
+            f""",l{k} AS MATERIALIZED (
   SELECT l{k-1}.id, LEAST(l{k-1}.label, COALESCE(m.minl, l{k-1}.label)) AS label
   FROM l{k-1} LEFT JOIN (
     SELECT s.dst AS id, MIN(l{k-1}.label) AS minl
     FROM sym s JOIN l{k-1} ON l{k-1}.id = s.src GROUP BY s.dst) m USING (id))"""
         )
-    body.append("SELECT id, label FROM l3")
+    body.append(f"SELECT id, label FROM l{K}")
+    return "\n".join(body)
+
+
+def _cc3_sql() -> str:
+    return _cc_unrolled_sql(3)
+
+
+# CC at sf0.01 converges in 5 supersteps (measured); 12 is a safe overshoot
+CC_CONVERGED_UNROLL = 12
+# PageRank to tol=1e-6 at sf0.01 takes 82 supersteps (measured); the gated
+# mirror below is stable once the frontier drains, so overshoot is safe
+PR_CONVERGED_UNROLL = 100
+
+
+def _pagerank_converged_sql(K: int = PR_CONVERGED_UNROLL, tol: float = 1e-6) -> str:
+    """EXACT mirror of the engine's per-vertex frontier gating
+    (PageRank.h:257-283 apply + :271-277 tol gate + expand): step k applies
+    the full update ONLY to frontier members; changed = frontier members
+    with |Δ| >= tol; next frontier = out-neighbors of changed. Once the
+    frontier empties every further unrolled step is a no-op, so K just
+    needs to exceed the converged superstep count. (The engine's
+    all-receivers shortcut is equal by construction: when all senders
+    changed, {dst : src changed} = all receivers.)"""
+    deg = "deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src)"
+    body = [f"WITH {EDGES_CTE.strip()},", deg + ",",
+            "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM verts),",
+            "f0 AS (SELECT id FROM verts)"]
+    for k in range(1, K + 1):
+        p = k - 1
+        body.append(
+            f""",r{k} AS MATERIALIZED (
+  SELECT r{p}.id,
+    CASE WHEN f{p}.id IS NOT NULL THEN 0.15 + 0.85 * COALESCE(s.g, 0)
+         ELSE r{p}.pr END AS pr
+  FROM r{p}
+  LEFT JOIN (SELECT e.dst AS id, SUM(r{p}.pr / deg.outd) AS g
+             FROM edges e JOIN r{p} ON r{p}.id = e.src JOIN deg ON deg.src = e.src
+             GROUP BY e.dst) s ON s.id = r{p}.id
+  LEFT JOIN f{p} ON f{p}.id = r{p}.id)
+,c{k} AS MATERIALIZED (SELECT r{k}.id FROM r{k} JOIN r{p} USING (id) WHERE ABS(r{k}.pr - r{p}.pr) >= {tol!r})
+,f{k} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM edges e JOIN c{k} ON c{k}.id = e.src)"""
+        )
+    body.append(f"SELECT id, ROUND(pr, 6) AS pr FROM r{K}")
     return "\n".join(body)
 
 
@@ -1122,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-shot graph dataflow
         "graph_triangle_count": q_triangle_count,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
+        # reference .mtx fixture through the full ingest->GAS path
+        "graph_mtx_pagerank3": q_mtx_pagerank3,
         # ingest (synthetic source table -> pandas-UDF extraction)
         "ingest_link_edges": q_ingest_link_edges,
         # relational / TPC-H-ish
@@ -1169,6 +1284,10 @@ SELECT id, out_deg, rk FROM (
         "graph_bfs3": _bfs3_sql(),
         "graph_bfs_multi3": _bfs_multi3_sql(),
         "graph_sssp3": _sssp3_sql(),
+        "ingest_link_edges": _ingest_link_edges_sql(),
+        "graph_pagerank_converged": _pagerank_converged_sql(),
+        "graph_cc_converged": _cc_unrolled_sql(CC_CONVERGED_UNROLL),
+        "graph_mtx_pagerank3": _mtx_pagerank3_sql(),
         "graph_triangle_count": TRIANGLE_SQL,
         "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,
         "tpch_q1_pricing_summary": TPCH_Q1_SQL,

@@ -50,24 +50,40 @@ def bfs(
     """result.vertices = (id, depth); depth = -1 for unreached (bfs.h:69).
 
     ``source`` may be a single vertex id (reference semantics,
-    bfs.h:128-131) or a list of ids — multi-source BFS: depth = distance
+    bfs.h:128-131), a list of ids — multi-source BFS: depth = distance
     to the NEAREST source (all sources start at depth 0 in the initial
     frontier; the reference's multi-source harness instead runs 100 random
     single sources sequentially, bfs.cu:340-397 — that harness is
-    random_sources() + a loop, exercised in tests/test_graph_algos.py).
-    Source ids not present in the graph are ignored.
+    random_sources() + a loop, exercised in tests/test_graph_algos.py) —
+    or a one-column DataFrame of source ids, so a computed source (e.g.
+    ``vertices.agg(min(id))``) never forces a driver-side collect inside
+    the measured query. Source ids not present in the graph are ignored.
     """
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
     if vertices is None:
         vertices = vertex_frame(edges)
-    sources = [int(source)] if isinstance(source, int) else [int(s) for s in source]
-    v0 = vertices.select(
+    marked = _mark_sources(vertices, source)
+    v0 = marked.select(
         "id",
-        F.when(F.col("id").isin(sources), F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
+        F.when(F.col("_is_src"), F.lit(0)).otherwise(F.lit(-1)).cast("long").alias("depth"),
     )
-    frontier0 = vertices.filter(F.col("id").isin(sources)).select("id")
+    frontier0 = marked.filter(F.col("_is_src")).select("id")
     return engine.run(bfs_program(), v0, frontier0, max_iter=max_iter)
+
+
+def _mark_sources(
+    vertices: DataFrame, source: int | list[int] | DataFrame
+) -> DataFrame:
+    """vertices + boolean `_is_src`. A DataFrame source is broadcast-joined
+    (no driver action); scalars/lists become an isin predicate."""
+    if isinstance(source, DataFrame):
+        src_df = source.select(F.col(source.columns[0]).cast("long").alias("id"))
+        return vertices.join(
+            F.broadcast(src_df.withColumn("_s", F.lit(True))), on="id", how="left"
+        ).select("id", F.coalesce(F.col("_s"), F.lit(False)).alias("_is_src"))
+    ids = [int(source)] if isinstance(source, int) else [int(s) for s in source]
+    return vertices.select("id", F.col("id").isin(ids).alias("_is_src"))
 
 
 def random_sources(

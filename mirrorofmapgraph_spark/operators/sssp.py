@@ -48,16 +48,19 @@ def sssp(
 ) -> GASResult:
     """result.vertices = (id, dist); dist = +inf when unreached.
 
-    ``source`` may be one id or a list (multi-source: dist to the nearest
-    source; absent ids are ignored) — see bfs.bfs for the semantics."""
+    ``source`` may be one id, a list (multi-source: dist to the nearest
+    source; absent ids are ignored), or a one-column DataFrame of ids —
+    see bfs.bfs for the semantics."""
+    from .bfs import _mark_sources
+
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
     if vertices is None:
         vertices = vertex_frame(edges)
-    sources = [int(source)] if isinstance(source, int) else [int(s) for s in source]
-    v0 = vertices.select(
+    marked = _mark_sources(vertices, source)
+    v0 = marked.select(
         "id",
-        F.when(F.col("id").isin(sources), F.lit(0.0)).otherwise(F.lit(_INF)).alias("dist"),
+        F.when(F.col("_is_src"), F.lit(0.0)).otherwise(F.lit(_INF)).alias("dist"),
     )
-    frontier0 = vertices.filter(F.col("id").isin(sources)).select("id")
+    frontier0 = marked.filter(F.col("_is_src")).select("id")
     return engine.run(sssp_program(), v0, frontier0, max_iter=max_iter)
