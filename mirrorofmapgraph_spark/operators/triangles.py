@@ -54,10 +54,19 @@ def _degree_oriented(und: DataFrame) -> DataFrame:
 
 
 def triangles(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
-    """All triangles as rows (a, b, c) with a < b < c (exactly once each)."""
-    und = canonical_undirected(edges)
+    """All triangles as rows (a, b, c) with a < b < c (exactly once each).
+
+    The canonical undirected table is persisted for the duration of the
+    plan: the dataflow references it from the degree computation, both
+    wedge sides, and the closing-edge join, and without a persist each
+    reference re-derives the input (scan + distinct) from scratch —
+    measured 4-5 re-evaluations. Linear state, MEMORY_AND_DISK, LRU-evicted.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     if degree_oriented:
-        o = _degree_oriented(und)
+        o = _degree_oriented(und).persist(StorageLevel.MEMORY_AND_DISK)
         # wedges pivoting at x: (x->y), (x->z); closing edge y-z in either
         # canonical direction.
         w1 = o.select(F.col("x"), F.col("y"))
