@@ -1165,6 +1165,63 @@ SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 10"""
 
 
+# IVF-Flat: nlist ~ sqrt(corpus) at sf0.1 (2000 vectors); nprobe/nlist =
+# 25% of the corpus scanned per query. lloyd_iters=0 for the gate entry so
+# the DuckDB oracle mirrors the deterministic seed centroids exactly; the
+# refined path is pytest-covered on planted clusters.
+IVF_NLIST = 32
+IVF_NPROBE = 8
+
+
+def q_emb_knn_ivf(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < KNN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, nlist=IVF_NLIST, nprobe=IVF_NPROBE)
+
+
+def _knn_ivf_sql() -> str:
+    from mirrorofmapgraph_spark.operators.similarity import (
+        IVF_SAMPLE_MOD,
+        IVF_SAMPLE_MULT,
+    )
+
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT vec_id, v FROM base
+  ORDER BY (vec_id * {IVF_SAMPLE_MULT}) % {IVF_SAMPLE_MOD} ASC, vec_id ASC
+  LIMIT {IVF_NLIST}),
+cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cent_id, v AS cvec FROM seeds),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT b.vec_id, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                         ORDER BY {cos.format(a='b.v', b='c.cvec')} DESC, c.cent_id ASC) AS rn
+    FROM base b CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                         ORDER BY {cos.format(a='q.v', b='c.cvec')} DESC, c.cent_id ASC) AS rn
+    FROM base q CROSS JOIN cents c WHERE q.vec_id < {KNN_N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, b.vec_id, b.v, p.qv
+  FROM probes p JOIN assign a ON a.cent_id = p.cent_id JOIN base b ON b.vec_id = a.vec_id),
+scored AS (SELECT query_id, vec_id, {cos.format(a='v', b='qv')} AS score FROM cand),
+ranked AS (
+  SELECT query_id, vec_id, score,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10"""
+
+
 NEARDUP_PLANT_OFFSET = 1_000_000
 
 
@@ -1263,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings: similarity search
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
+        "emb_knn_ivf": q_emb_knn_ivf,
         "emb_neardup_pairs": q_emb_neardup_pairs,
     }
 
@@ -1310,5 +1368,6 @@ SELECT id, out_deg, rk FROM (
         "docs_ngram_jaccard_block": _ngram_jaccard_block_sql(),
         "emb_knn_bruteforce": KNN_BF_SQL,
         "emb_knn_lsh": _knn_lsh_sql(),
+        "emb_knn_ivf": _knn_ivf_sql(),
         "emb_neardup_pairs": _neardup_sql(),
     }

@@ -35,6 +35,7 @@ HEADLINE = [
     "events_cooccurrence_edges",
     "emb_knn_bruteforce",
     "emb_knn_lsh",
+    "emb_knn_ivf",
     "emb_neardup_pairs",
 ]
 

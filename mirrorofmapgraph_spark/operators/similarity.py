@@ -162,6 +162,144 @@ def lsh_topk(
     )
 
 
+IVF_SAMPLE_MULT = 2654435761  # Knuth multiplicative hash (portable in SQL)
+IVF_SAMPLE_MOD = 1 << 31
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """(cent_id, cvec): IVF coarse quantizer centroids.
+
+    Seeds = a deterministic pseudo-random sample of ``nlist`` corpus
+    vectors (rank of the portable multiplicative hash (id * 2654435761)
+    mod 2^31, ties by id — reproducible in ANSI SQL, so the DuckDB oracle
+    derives the exact same seed set). ``lloyd_iters`` > 0 refines them
+    with spherical k-means steps (assign by max cosine, centroid =
+    l2-normalized element-wise mean). Centroid state is nlist x dim —
+    driver-sized by definition (like the LSH hyperplanes), so each Lloyd
+    step is one distributed assignment pass + one (cent, dim-position)
+    aggregation; the corpus is never collected.
+    """
+    key = F.pmod(F.col(id_col) * F.lit(IVF_SAMPLE_MULT), F.lit(IVF_SAMPLE_MOD))
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(key.asc(), F.col(id_col).asc())
+        .limit(nlist)
+        .orderBy(F.col(id_col))
+    )
+    cents = seeds.select(
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.col(id_col))
+        ).alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        pos_means = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .join(assigned, on=id_col)
+            .select("cent_id", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("col").alias("m"))
+        )
+        new_cents = (
+            pos_means.groupBy("cent_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select(
+                "cent_id",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        from ..functions.vectors import l2_normalize
+
+        cents = new_cents.select(
+            "cent_id", l2_normalize(F.col("cvec")).alias("cvec")
+        ).localCheckpoint(eager=True)
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cent_id): nearest centroid by cosine, ties to the smallest
+    cent_id. One broadcast pass over the corpus; the argmax is a
+    map-side-partial-friendly max(struct(score, -cent_id)) — no window
+    shuffle of corpus-sized data."""
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(cents)
+    )
+    s = cosine(F.col(vec_col), F.col("cvec"))
+    return (
+        scored.select(F.col(id_col), F.col("cent_id"), s.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max(F.struct(F.col("_s"), (-F.col("cent_id")).alias("neg"))).alias("t"))
+        .select(F.col(id_col), (-F.col("t.neg")).alias("cent_id"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: score only corpus vectors whose
+    inverted list is among the query's ``nprobe`` closest centroids.
+    Output schema matches brute_force_topk (query_id, vec_id, score, rank).
+
+    The 100 TB shape: the corpus is partitioned by its one-time centroid
+    assignment (a broadcast pass — centroids are nlist x dim, tiny), and
+    each query touches ~nprobe/nlist of it; exact cosine re-ranking runs
+    on candidates only. A pathological hot list (all vectors in one cell)
+    degrades toward a scan for queries probing it — pick nlist ~
+    sqrt(corpus) and refine with ``lloyd_iters`` to balance cells.
+    """
+    cents = ivf_centroids(
+        corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, lloyd_iters=lloyd_iters
+    )
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    inv = corpus.select(F.col(id_col), F.col(vec_col)).join(assigned, on=id_col)
+    # query-side probe list: queries are the small side — a per-query
+    # window over nlist rows each
+    qs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    qscored = qs.crossJoin(F.broadcast(cents)).select(
+        query_id_col, "_qvec", "cent_id",
+        cosine(F.col("_qvec"), F.col("cvec")).alias("_s"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("cent_id"))
+    probes = (
+        qscored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select(query_id_col, "_qvec", "cent_id")
+    )
+    cand = inv.join(F.broadcast(probes), on="cent_id")
+    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("score", 6).alias("score"), "rank")
+    )
+
+
 def near_duplicates_cosine(
     emb: DataFrame,
     *,

@@ -497,3 +497,51 @@ def test_candidate_verify_composition_superset(spark):
     # the real assertion: every exact pair must be recovered
     assert set(composed) == set(exact)
     assert composed == exact
+
+
+def test_ivf_planted_cluster_recall_and_pruning(spark):
+    """IVF-Flat on clustered data: queries and their true neighbors share
+    a coarse cell (within-cluster cosine ~0.97), so recall vs exact top-5
+    must be high while only ~nprobe/nlist of the corpus is scored."""
+    from mirrorofmapgraph_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = _planted_clusters(spark)
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall}"
+    # pruning: candidate volume bounded by the probed cells' population
+    cents = ivf_centroids(emb, nlist=16)
+    sizes = {r["cent_id"]: r["n"] for r in
+             ivf_assign(emb, cents).groupBy("cent_id").agg(
+                 F.count("*").alias("n")).collect()}
+    assert sum(sizes.values()) == emb.count()  # partition of the corpus
+    assert max(sizes.values()) < emb.count()   # more than one real cell
+
+
+def test_ivf_lloyd_refinement_runs_and_keeps_recall(spark):
+    """lloyd_iters > 0 (spherical k-means refinement) stays deterministic
+    and does not hurt recall on clustered data."""
+    from mirrorofmapgraph_spark.operators.similarity import ivf_topk
+
+    emb = _planted_clusters(spark)
+    queries = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    refined = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, lloyd_iters=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in refined.collect()}
+    assert len(e & a) / len(e) >= 0.9
+    # determinism: same call -> identical rows
+    again = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, lloyd_iters=2)
+    assert sorted(map(tuple, refined.collect())) == sorted(map(tuple, again.collect()))
