@@ -176,6 +176,63 @@ def event_edges(
     )
 
 
+def user_running_totals(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    RUNNING totals maintained in the state store across micro-batches —
+    (user_id, n_events, sum_value, last_ts), one updated row per user per
+    batch that touched them. The Spark-native analogue of a keyed
+    incremental accumulator feeding the link-graph pipeline (e.g. activity
+    scores refreshed as events stream in).
+
+    State is one tiny tuple per user (count, sum, max-ts micros) — the
+    state store scales with |users|, not |events|; each batch's events
+    arrive Arrow-batched per key group. In batch mode the same function
+    degrades to a plain groupBy aggregation (equivalence tested: a
+    two-phase streamed run must equal the one-shot batch totals).
+    """
+    src = events
+    if not src.isStreaming:
+        return src.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = src.withWatermark("ts", watermark)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                # pandas Timestamp -> microseconds since epoch (state
+                # stores primitives)
+                mx = pdf["ts"].max()
+                last_us = max(last_us, int(mx.value // 1000))
+        state.update((n, s, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 6)],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double, last_ts timestamp",
+        stateStructType="n long, s double, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_from_directory(
     spark: SparkSession, path: str, schema: str | None = None
 ) -> DataFrame:

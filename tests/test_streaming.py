@@ -133,3 +133,55 @@ def test_event_edges_streaming_matches_batch_pairs(spark, events, tmp_path):
         for r in a.join(b, on="win").filter(F.col("src") < F.col("dst")).collect()
     }
     assert got == want
+
+
+def test_user_running_totals_stateful_across_batches(spark, events, tmp_path):
+    """applyInPandasWithState keeps per-user running totals in the state
+    store ACROSS micro-batches: stream the events in two file batches and
+    assert the final emitted totals equal the one-shot batch aggregation."""
+    import shutil
+
+    from mirrorofmapgraph_spark.streaming.events import user_running_totals
+
+    # split the corpus into two files (two micro-batches via maxFilesPerTrigger)
+    src = str(tmp_path / "totals_src")
+    half = events.count() // 2
+    events.filter(F.col("event_id") < half).coalesce(1).write.parquet(src)
+    events.filter(F.col("event_id") >= half).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = user_running_totals(stream)
+    assert out.isStreaming
+    ckpt = str(tmp_path / "totals_ck")
+    q = (
+        out.writeStream.format("memory").queryName("running_totals")
+        .outputMode("update").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from running_totals").collect()
+    batches_seen = {}
+    # update mode re-emits a user's row per touching batch; the LAST row
+    # per user (max n_events — totals only grow) is the final state
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"], r["last_ts"])
+    want = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["last_ts"])
+        for r in user_running_totals(events).collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u][0] == want[u][0], f"user {u} count"
+        assert abs(final[u][1] - want[u][1]) < 1e-6, f"user {u} sum"
+        assert final[u][2] == want[u][2], f"user {u} last_ts"
+    # statefulness really exercised: at least one user spans both batches
+    spanning = events.filter(F.col("event_id") < half).select("user_id").intersect(
+        events.filter(F.col("event_id") >= half).select("user_id")
+    ).count()
+    assert spanning > 0
