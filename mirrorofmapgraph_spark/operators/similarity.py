@@ -325,13 +325,18 @@ def near_duplicates_cosine(
     (cosine 1.0 survives the threshold); only cross-group pairs through
     an oversized bucket collapse to a single rep-to-rep pair. Cost per
     bucket drops to linear."""
+    from pyspark.storagelevel import StorageLevel
+
     from .dedup import blocked_candidate_pairs
 
     b = simhash_buckets(emb, vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed)
+    # the banded frame derives from the Arrow-batch GEMM pandas UDF and is
+    # referenced from several branches of blocked_candidate_pairs (stats,
+    # sized, big) — persist so the UDF pass runs once, not per branch
     keyed = b.select(
         F.col(id_col).alias("id"), "band", "bucket",
         F.xxhash64(F.col(vec_col)).alias("_g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = blocked_candidate_pairs(keyed, max_bucket=max_bucket).dropDuplicates(
         ["id_a", "id_b"]
     )
