@@ -223,7 +223,10 @@ def ivf_centroids(
         cents = new_cents.select(
             "cent_id", l2_normalize(F.col("cvec")).alias("cvec")
         ).localCheckpoint(eager=True)
-    return cents
+    # centroids are nlist x dim (tiny); materialize so the seed-selection
+    # corpus pass runs ONCE even though both the corpus assignment and the
+    # query probe reference the frame
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_assign(
