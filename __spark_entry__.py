@@ -663,6 +663,22 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM seq GROUP BY user_id, session_seq"""
 
 
+def q_events_user_totals(spark, sf_dir):
+    # batch projection of the applyInPandasWithState running-totals
+    # operator (streaming/events.py user_running_totals): same function,
+    # batch DataFrame in -> plain groupBy aggregation; the stateful
+    # cross-batch path is pinned by tests/test_streaming.py
+    from mirrorofmapgraph_spark.streaming.events import user_running_totals
+
+    return user_running_totals(_events(spark, sf_dir))
+
+
+EVENTS_USER_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id"""
+
+
 COOCCURRENCE_CAP = 1000
 
 
@@ -1306,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_by_type": q_events_hourly,
         "events_sessionize": q_events_sessionize,
         "events_cooccurrence_edges": q_events_cooccurrence,
+        "events_user_totals": q_events_user_totals,
         # documents: dedup + text analysis
         "docs_exact_dup_groups": q_docs_exact_dup_groups,
         "docs_text_stats": q_docs_text_stats,
@@ -1356,6 +1373,7 @@ SELECT id, out_deg, rk FROM (
         "events_hourly_by_type": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,
         "events_cooccurrence_edges": EVENTS_COOCCURRENCE_SQL,
+        "events_user_totals": EVENTS_USER_TOTALS_SQL,
         "docs_exact_dup_groups": DOCS_EXACT_DUP_SQL,
         "docs_text_stats": _text_stats_sql(),
         "docs_lang_id": _lang_id_sql(),
