@@ -64,12 +64,3 @@ def get_spark(
     if checkpoint_dir:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
     return spark
-
-
-def stop_and_renew(spark: SparkSession, **kwargs) -> SparkSession:
-    """Stop a session and start a fresh one (used by bench.py to run the
-    same job at two parallelism levels for scaling-efficiency evidence)."""
-    spark.stop()
-    # getOrCreate would otherwise reuse the stopped session's conf cache.
-    SparkSession.builder._options = {}  # noqa: SLF001 - reset builder state
-    return get_spark(**kwargs)
