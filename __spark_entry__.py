@@ -125,16 +125,14 @@ def q_degree_histogram(spark, sf_dir):
 
 
 def q_top_out_degrees(spark, sf_dir):
-    from pyspark.sql.window import Window
+    from mirrorofmapgraph_spark.functions.ranking import ranked_top_k
 
     deg = out_degrees(_edges(spark, sf_dir))
-    # Distributed partial top-k (TakeOrderedAndProject) instead of a global
-    # window over the whole frame (which moves ALL rows to one partition);
-    # the row_number runs on the 20 surviving rows only. partitionBy(lit(1))
-    # keeps the plan warning-free.
-    top = deg.orderBy(F.desc("out_deg"), F.asc("id")).limit(20)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("out_deg"), F.asc("id"))
-    return top.withColumn("rk", F.row_number().over(w))
+    # Distributed partial top-k (TakeOrderedAndProject) + windowless rank
+    # (broadcast self-join count over the 20 survivors) — no global-window
+    # single-partition shuffle anywhere in the plan.
+    key = F.struct((-F.col("out_deg")).alias("d"), F.col("id").alias("i"))
+    return ranked_top_k(deg, key, 20).select("id", "out_deg", "rk")
 
 
 def q_pagerank3(spark, sf_dir):
@@ -498,15 +496,16 @@ def q_tpch_q3(spark, sf_dir):
         .join(li, orders.o_orderkey == li.l_orderkey)
         .filter((F.col("o_orderdate") < "1996-06-01") & (F.col("l_shipdate") > "1996-06-01"))
     )
-    from pyspark.sql.window import Window
+    from mirrorofmapgraph_spark.functions.ranking import ranked_top_k
 
     agg = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(_dec(rev)).cast("double").alias("revenue")
     )
-    # top-10 via distributed TakeOrderedAndProject, then rank the 10 rows
-    top = agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return top.withColumn("rk", F.row_number().over(w))
+    # top-10 via distributed TakeOrderedAndProject + windowless rank
+    key = F.struct((-F.col("revenue")).alias("r"), F.col("o_orderkey").alias("k"))
+    return ranked_top_k(agg, key, 10).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rk"
+    )
 
 
 TPCH_Q3_SQL = """
@@ -873,9 +872,9 @@ def _minhash_cand_ctes(num_perm: int, bands: int, cap: int) -> str:
         f"SELECT doc_id, {b} AS band, {_band_bucket_expr(b, num_perm, bands)} AS bucket FROM sig"
         for b in range(bands)
     )
-    fold = "CAST(0 AS BIGINT)"
-    for j in range(num_perm):
-        fold = f"(({fold}) * 1000003 + s{j}) % {P}"
+    # group key = the FULL signature as a LIST (collision-free, mirrors
+    # dedup.minhash_candidates grouping on the sig array)
+    fold = "[" + ", ".join(f"s{j}" for j in range(num_perm)) + "]"
     return f"""banded AS ({buckets}),
 stats AS (SELECT band, bucket, COUNT(*) AS n, MIN(doc_id) AS rep FROM banded GROUP BY 1, 2),
 sized AS (SELECT banded.*, stats.n, stats.rep FROM banded JOIN stats USING (band, bucket)),

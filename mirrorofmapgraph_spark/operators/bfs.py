@@ -78,7 +78,12 @@ def _mark_sources(
     """vertices + boolean `_is_src`. A DataFrame source is broadcast-joined
     (no driver action); scalars/lists become an isin predicate."""
     if isinstance(source, DataFrame):
-        src_df = source.select(F.col(source.columns[0]).cast("long").alias("id"))
+        # dropDuplicates: a repeated source id would fan out the left join
+        # and duplicate vertex rows, corrupting the one-row-per-vertex
+        # invariant of the initial state/frontier.
+        src_df = source.select(
+            F.col(source.columns[0]).cast("long").alias("id")
+        ).dropDuplicates()
         return vertices.join(
             F.broadcast(src_df.withColumn("_s", F.lit(True))), on="id", how="left"
         ).select("id", F.coalesce(F.col("_s"), F.lit(False)).alias("_is_src"))

@@ -213,15 +213,13 @@ def minhash_candidates(
         docs, text_col, id_col, num_perm=num_perm, ngram=ngram, seed=seed
     ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = _band_explode(sig, num_perm, bands)
-    # exact-fingerprint group key: polynomial fold of the FULL signature
-    # (same portable arithmetic as the band buckets, so the DuckDB oracle
-    # reproduces identical groups)
-    full_fold = F.aggregate(
-        F.col("sig"),
-        F.lit(0).cast("long"),
-        lambda acc, h: (acc * F.lit(1000003) + h) % F.lit(MERSENNE31),
-    )
-    keyed = banded.select("id", "band", "bucket", full_fold.alias("_g"))
+    # exact-fingerprint group key: the FULL signature array itself
+    # (grouping on array<long> is native in both Spark and the DuckDB
+    # oracle). A folded/hashed key could collide two distinct signatures
+    # inside one oversized bucket, merging their star groups and losing
+    # the absorbed cluster's internal pairs — the array is collision-free
+    # by construction.
+    keyed = banded.select("id", "band", "bucket", F.col("sig").alias("_g"))
     pairs = (
         blocked_candidate_pairs(keyed, max_bucket=max_bucket)
         .groupBy("id_a", "id_b")

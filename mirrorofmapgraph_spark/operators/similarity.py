@@ -186,18 +186,30 @@ def ivf_centroids(
     step is one distributed assignment pass + one (cent, dim-position)
     aggregation; the corpus is never collected.
     """
+    from pyspark.storagelevel import StorageLevel
+
     key = F.pmod(F.col(id_col) * F.lit(IVF_SAMPLE_MULT), F.lit(IVF_SAMPLE_MOD))
+    # Distributed partial top-nlist (TakeOrderedAndProject), persisted so
+    # the corpus scan under it runs once despite the rank self-join below.
     seeds = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .orderBy(key.asc(), F.col(id_col).asc())
         .limit(nlist)
-        .orderBy(F.col(id_col))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cents = seeds.select(
-        F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy(F.col(id_col))
-        ).alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("cvec"),
+    # cent_id = 1..nlist in id order WITHOUT a global window (an
+    # unpartitioned row_number moves all rows to one partition and fires
+    # the WindowExec warning even on a tiny frame): rank by broadcast
+    # self-join count over the nlist seed ids.
+    sid = F.broadcast(seeds.select(F.col(id_col).alias("_id2")))
+    ranks = (
+        seeds.select(id_col)
+        .join(sid, F.col(id_col) >= F.col("_id2"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("cent_id"))
+    )
+    cents = seeds.join(F.broadcast(ranks), on=id_col).select(
+        "cent_id", F.col(vec_col).cast("array<double>").alias("cvec")
     )
     for _ in range(lloyd_iters):
         assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
@@ -220,9 +232,21 @@ def ivf_centroids(
         )
         from ..functions.vectors import l2_normalize
 
-        cents = new_cents.select(
-            "cent_id", l2_normalize(F.col("cvec")).alias("cvec")
-        ).localCheckpoint(eager=True)
+        refined = new_cents.select(
+            "cent_id", l2_normalize(F.col("cvec")).alias("_cvec_new")
+        )
+        # A centroid whose cell went empty has no pos_means rows; keep its
+        # previous vector instead of silently dropping it (nlist must stay
+        # stable across Lloyd iterations — it can bound nprobe).
+        cents = (
+            cents.withColumnRenamed("cvec", "_cvec_old")
+            .join(refined, on="cent_id", how="left")
+            .select(
+                "cent_id",
+                F.coalesce(F.col("_cvec_new"), F.col("_cvec_old")).alias("cvec"),
+            )
+            .localCheckpoint(eager=True)
+        )
     # centroids are nlist x dim (tiny); materialize so the seed-selection
     # corpus pass runs ONCE even though both the corpus assignment and the
     # query probe reference the frame

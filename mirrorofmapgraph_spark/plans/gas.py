@@ -264,6 +264,19 @@ class GASEngine:
         except Exception:
             return ck
 
+    def _release_cut(self, df: DataFrame) -> None:
+        """Free the executor storage behind a ``_cut``/localCheckpoint frame
+        that will never be read (a discarded fused block): unpersist the
+        underlying checkpointed RDD's blocks. Best-effort — the internal
+        LogicalRDD handle mirrors the one ``_cut`` already relies on, and a
+        shape change just leaves the blocks to LRU eviction."""
+        try:
+            jlr = df._jdf.queryExecution().analyzed()
+            if jlr.getClass().getName().endswith(".LogicalRDD"):
+                jlr.rdd().unpersist(False)
+        except Exception:
+            pass
+
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
 
     def edges_partitioned(self, key: str) -> DataFrame:
@@ -570,6 +583,13 @@ class GASEngine:
                     step += done
                     prev_changed_all = still_all
                     fuse_on = fuse_on and still_all
+                    # fused-path frontiers join the same stale-release
+                    # rotation as sequential ones (unpersist is a no-op on
+                    # the shared all-receivers frame, which is
+                    # localCheckpointed, not cache-managed)
+                    while len(stale) > 1:
+                        stale.pop(0).unpersist()
+                    stale.append(frontier)
                     if (
                         self.checkpoint_dir
                         and self.checkpoint_every
@@ -690,10 +710,14 @@ class GASEngine:
         final = self._cut(cur)
         rows = [self._read_observation(o, None) for o in observations]
         if any(r is None for r in rows):
-            return None  # metrics did not surface; replay sequentially
+            # metrics did not surface; replay sequentially — free the
+            # discarded block's eager checkpoint first
+            self._release_cut(final)
+            return None
         changed = [int(r["ch"] or 0) for r in rows]
         changed_all = [self._all_changed(r) for r in rows]
         if not all(changed_all[:-1]):
+            self._release_cut(final)
             return None  # diverged mid-block
         wall_ms = (time.monotonic() - t0) * 1000.0
         new_vertices = final.drop("_changed", "_msg_cnt")

@@ -131,10 +131,30 @@ def event_edges(
     ``xxhash64(user_id) % stream_user_mod == 0``; default 1 = keep all),
     and a window-equality stream-stream self-join. The output is the
     per-window pair stream (win_start, src, dst, w=1.0) in append mode;
-    roll up w across windows in the sink or a downstream batch job (a
-    chained cross-window aggregation after a stream-stream join is not
-    incrementally supported)."""
+    roll up w across windows in the sink or a downstream batch job — see
+    ``rollup_event_edges`` / ``stream_event_edges_to_parquet`` for the
+    runnable composition (a chained cross-window aggregation after a
+    stream-stream join is not incrementally supported).
+
+    The streaming path CANNOT honor ``max_users_per_window`` (no exact
+    per-window top-k on a stream): with ``stream_user_mod`` left at 1 the
+    window self-join is UNBOUNDED in window activity — one hot window with
+    1M active users is 5*10^11 pairs. A loud warning fires in that
+    configuration; pass ``stream_user_mod > 1`` (keep ~1/mod of users) to
+    bound it, or acknowledge the risk knowingly."""
     if events.isStreaming:
+        if stream_user_mod <= 1:
+            import warnings
+
+            warnings.warn(
+                "event_edges on a STREAM ignores max_users_per_window (no "
+                "exact per-window top-k incrementally); with "
+                "stream_user_mod=1 the per-window self-join is unbounded — "
+                "a hot window blows up quadratically. Pass stream_user_mod>1 "
+                "to hash-sample users and bound the join.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         src = events
         if dict(src.dtypes).get("ts") == "timestamp_ntz":
             src = src.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -174,6 +194,57 @@ def event_edges(
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
     )
+
+
+def rollup_event_edges(pair_batches: DataFrame) -> DataFrame:
+    """Downstream rollup for the STREAMING ``event_edges`` output: collapse
+    the per-window pair stream (win_start, src, dst, w) into the batch
+    shape (src, dst, w = number of co-occurrence windows).
+
+    This is the documented second half of the 100 TB incremental feed:
+    the stream appends per-window pairs to a sink (parquet directory /
+    table — see ``stream_event_edges_to_parquet``), and this one groupBy
+    runs over the sink as a batch job (or inside ``foreachBatch`` against
+    an idempotent MERGE target). Exactly one shuffle, keyed on (src, dst).
+    A pair may appear at most once per window (the stream dedups activity
+    per (win, user)), so SUM(w) == COUNT(*) == the batch path's count."""
+    return pair_batches.groupBy("src", "dst").agg(
+        F.sum("w").cast("double").alias("w")
+    )
+
+
+def stream_event_edges_to_parquet(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    stream_user_mod: int = 2,
+    timeout_s: int = 120,
+):
+    """End-to-end incremental edge feed: streaming ``event_edges`` appended
+    to a parquet directory; ``rollup_event_edges`` over that directory then
+    yields the cross-window edge weights. Returns the StreamingQuery after
+    draining all currently-available input (availableNow trigger).
+
+    The append sink + batch rollup composition is the incrementally-safe
+    factoring: the per-window pair stream is append-only past the
+    watermark, and the rollup is a pure batch aggregation that can run at
+    any cadence (or as foreachBatch MERGE into a keyed table)."""
+    pairs = event_edges(
+        events, window=window, watermark=watermark, stream_user_mod=stream_user_mod
+    )
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
 
 
 def user_running_totals(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:

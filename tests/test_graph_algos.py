@@ -371,3 +371,20 @@ def test_labelprop_canonical_matches_symmetrized(spark, make_edges):
         ga = {r["id"]: r["label"] for r in a.vertices.collect()}
         gb = {r["id"]: r["label"] for r in b.vertices.collect()}
         assert ga == gb, f"diverged at max_iter={k}"
+
+
+def test_bfs_duplicate_dataframe_sources(spark, make_edges, make_vertices):
+    """A DataFrame source with REPEATED ids must not fan out the init join
+    (one row per vertex invariant) — result equals the deduped source set."""
+    edges = random_graph(n=50, m=150, seed=11)
+    e = canonicalize(make_edges(edges))
+    src_df = spark.createDataFrame([(0,), (7,), (7,), (0,), (23,)], "id long")
+    res = bfs(spark, e, src_df, vertices=make_vertices(50))
+    rows = res.vertices.collect()
+    assert len(rows) == 50  # no duplicated vertex rows
+    got = {r["id"]: r["depth"] for r in rows}
+    per_src = [bfs_ref(50, edges, s) for s in [0, 7, 23]]
+    for v in range(50):
+        reach = [d[v] for d in per_src if d[v] >= 0]
+        want = min(reach) if reach else -1
+        assert got[v] == want, f"vertex {v}: {got[v]} != {want}"

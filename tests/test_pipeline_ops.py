@@ -545,3 +545,19 @@ def test_ivf_lloyd_refinement_runs_and_keeps_recall(spark):
     # determinism: same call -> identical rows
     again = ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, lloyd_iters=2)
     assert sorted(map(tuple, refined.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_ivf_lloyd_keeps_empty_cells(spark):
+    """A Lloyd iteration must keep nlist stable even when a centroid's cell
+    goes empty (the previous vector is retained, not silently dropped) —
+    nlist can bound nprobe, so shrinkage would corrupt probing."""
+    from mirrorofmapgraph_spark.operators.similarity import ivf_centroids
+
+    emb = _planted_clusters(spark)
+    # nlist far above the true cluster count: many seed cells collapse to
+    # empty after one assignment pass
+    cents = ivf_centroids(emb, nlist=48, lloyd_iters=2)
+    rows = cents.collect()
+    assert len(rows) == 48
+    assert sorted(r["cent_id"] for r in rows) == list(range(1, 49))
+    assert all(r["cvec"] is not None and len(r["cvec"]) > 0 for r in rows)

@@ -185,3 +185,42 @@ def test_user_running_totals_stateful_across_batches(spark, events, tmp_path):
         events.filter(F.col("event_id") >= half).select("user_id")
     ).count()
     assert spanning > 0
+
+
+def test_stream_event_edges_rollup_matches_batch(spark, events, tmp_path):
+    """End-to-end incremental feed: streaming event_edges appended to a
+    parquet sink across TWO micro-batches, then rollup_event_edges over the
+    sink must equal the batch event_edges on the SAME hash-sampled user
+    subset (the streaming path's bound; batch input pre-filtered with the
+    identical predicate so both sides see the same users)."""
+    from mirrorofmapgraph_spark.streaming.events import (
+        rollup_event_edges,
+        stream_event_edges_to_parquet,
+    )
+
+    mod = 2
+    src = str(tmp_path / "rollup_src")
+    half = events.count() // 2
+    events.filter(F.col("event_id") < half).coalesce(1).write.parquet(src)
+    events.filter(F.col("event_id") >= half).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "rollup_sink")
+    ck = str(tmp_path / "rollup_ck")
+    stream_event_edges_to_parquet(
+        stream, out_dir, ck, window="6 hours", stream_user_mod=mod, timeout_s=180
+    )
+    rolled = rollup_event_edges(spark.read.parquet(out_dir))
+    got = {(r["src"], r["dst"]): r["w"] for r in rolled.collect()}
+    sampled = events.filter(F.pmod(F.xxhash64(F.col("user_id")), F.lit(mod)) == 0)
+    want = {
+        (r["src"], r["dst"]): r["w"]
+        for r in event_edges(
+            sampled, window="6 hours", max_users_per_window=10**9
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
