@@ -139,3 +139,25 @@ def test_read_mtx_rejects_sizeless_file(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="size line"):
         read_mtx(spark, str(p))
+
+
+def test_distributed_specs_match_driver_path(spark):
+    """The default (edges=None) table is built distributively from
+    spark.range; feeding the SAME ring+chord edge list through the
+    driver-built fixture path must yield byte-identical rows."""
+    n_repos, fpr, K = 6, 2, 3
+    n = n_repos * fpr
+    ring = sorted(
+        {(v, (v + k * k) % n) for v in range(n) for k in range(1, K + 1)}
+        - {(v, v) for v in range(n)}
+    )
+    dist = synthesize_repo_table(
+        spark, n_repos=n_repos, files_per_repo=fpr, extra_ring_links=K
+    )
+    drv = synthesize_repo_table(
+        spark, edges=ring, n_repos=n_repos, files_per_repo=fpr
+    )
+    cols = ["repo", "path", "commit", "lang", "content"]
+    a = sorted(tuple(r) for r in dist.select(*cols).collect())
+    b = sorted(tuple(r) for r in drv.select(*cols).collect())
+    assert a == b
