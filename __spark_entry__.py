@@ -244,6 +244,48 @@ def q_mtx_pagerank3(spark, sf_dir):
     return res.vertices.select("id", F.round("rank", 6).alias("pr"))
 
 
+def q_builder_random_edges(spark, sf_dir):
+    """b40c/graph/builder/random.cuh parity: the uniform random generator's
+    edge table, value-gated against the same 31-bit LCG arithmetic in
+    DuckDB (pure BIGINT, exact in both engines). Ignores sf_dir — the
+    builder is its own deterministic input."""
+    from mirrorofmapgraph_spark.sources.builders import random_edges
+
+    return random_edges(spark, n_vertices=500, n_edges=4000, seed=11)
+
+
+def _builder_random_edges_sql() -> str:
+    from mirrorofmapgraph_spark.sources.builders import LCG_A, LCG_C, LCG_M
+
+    lcg = f"(({LCG_A} * {{x}} + {LCG_C}) % {LCG_M})"
+    return f"""
+WITH slots AS (SELECT range AS i FROM range(0, 4000))
+SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM (
+  SELECT {lcg.format(x='(i * 2 + 11)')} % 500 AS src,
+         {lcg.format(x='(i * 2 + 12)')} % 500 AS dst
+  FROM slots)
+WHERE src <> dst"""
+
+
+def q_builder_grid2d_bfs(spark, sf_dir):
+    """b40c/graph/builder/grid2d.cuh parity through the engine: BFS from
+    the lattice corner. The oracle is the closed form — depth(x, y) =
+    Manhattan distance x + y — so the gate pins builder AND traversal.
+    Ignores sf_dir — the builder is its own deterministic input."""
+    from mirrorofmapgraph_spark.operators.bfs import bfs
+    from mirrorofmapgraph_spark.sources.builders import grid2d_edges
+
+    res = bfs(spark, grid2d_edges(spark, width=8), 0, collect_metrics=False)
+    return res.vertices.select("id", F.col("depth").cast("long").alias("depth"))
+
+
+def _builder_grid2d_bfs_sql() -> str:
+    return """
+WITH xs AS (SELECT range AS x FROM range(0, 8)),
+ys AS (SELECT range AS y FROM range(0, 8))
+SELECT y * 8 + x AS id, x + y AS depth FROM xs CROSS JOIN ys"""
+
+
 # the 11 directed edges of tests/data/small.mtx after the reader's
 # 1-based -> 0-based shift; inlined into the DuckDB oracle so the oracle
 # covers the reader's parse semantics too (weights unused by PageRank)
@@ -1309,6 +1351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles_per_vertex": q_triangles_per_vertex,
         # reference .mtx fixture through the full ingest->GAS path
         "graph_mtx_pagerank3": q_mtx_pagerank3,
+        # synthetic builders (b40c/graph/builder parity)
+        "graph_builder_random_edges": q_builder_random_edges,
+        "graph_builder_grid2d_bfs": q_builder_grid2d_bfs,
         # ingest (synthetic source table -> pandas-UDF extraction)
         "ingest_link_edges": q_ingest_link_edges,
         # relational / TPC-H-ish
@@ -1362,6 +1407,8 @@ SELECT id, out_deg, rk FROM (
         "graph_pagerank_converged": _pagerank_converged_sql(),
         "graph_cc_converged": _cc_unrolled_sql(CC_CONVERGED_UNROLL),
         "graph_mtx_pagerank3": _mtx_pagerank3_sql(),
+        "graph_builder_random_edges": _builder_random_edges_sql(),
+        "graph_builder_grid2d_bfs": _builder_grid2d_bfs_sql(),
         "graph_triangle_count": TRIANGLE_SQL,
         "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,
         "tpch_q1_pricing_summary": TPCH_Q1_SQL,
