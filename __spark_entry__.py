@@ -286,6 +286,56 @@ ys AS (SELECT range AS y FROM range(0, 8))
 SELECT y * 8 + x AS id, x + y AS depth FROM xs CROSS JOIN ys"""
 
 
+def q_mm_image_features(spark, sf_dir):
+    """Multimodal image path under the VALUE gate: synthesize the binary
+    asset table, run the Arrow-batched mapInPandas decode (fake kernel —
+    no codecs in this container), and project each float32 feature back
+    to its EXACT integer byte-bucket sum (bucket mean * 255 * 32; the
+    /32 is a power of two and float32 is integer-exact to 2^24, so the
+    round-trip is lossless). The oracle recomputes the same sha256-hex
+    payload and bucket sums in pure SQL, pinning schema, partition-safe
+    determinism, and the fold arithmetic of operators/multimodal.py.
+    Ignores sf_dir — the asset table is its own deterministic input."""
+    from mirrorofmapgraph_spark.operators.multimodal import (
+        decode_image,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, n=48, payload_bytes=256)
+    img = decode_image(assets, fake=True, feature_dim=8)
+    return img.select(
+        "asset_id", "width", "height", "channels",
+        F.transform(
+            "feature",
+            lambda x: F.round(x.cast("double") * F.lit(255.0 * 32)).cast("long"),
+        ).alias("bucket_sums"),
+    )
+
+
+def _mm_image_features_sql() -> str:
+    # mirrors synthesize_assets (payload = sha256 hex of the id repeated,
+    # truncated to 256 chars) and _fake_image_features (bucket k = bytes at
+    # positions p ≡ k mod 8; numpy reshape(-1, 8).mean(axis=0) scaled back)
+    return """
+WITH ids AS (SELECT range AS asset_id FROM range(0, 48)),
+img AS (
+  SELECT asset_id,
+         CAST(asset_id % 16 * 64 + 64 AS INTEGER) AS width,
+         CAST(asset_id % 9 * 64 + 64 AS INTEGER) AS height,
+         substr(repeat(sha256(CAST(asset_id AS VARCHAR)), 9), 1, 256) AS payload
+  FROM ids WHERE asset_id % 3 = 0),
+pos AS (SELECT range AS p FROM range(0, 256)),
+b AS (SELECT asset_id, p % 8 AS k,
+             ord(substr(payload, CAST(p + 1 AS INTEGER), 1)) AS v
+      FROM img CROSS JOIN pos),
+s AS (SELECT asset_id, k, SUM(v) AS sv FROM b GROUP BY 1, 2)
+SELECT s.asset_id, any_value(i.width) AS width, any_value(i.height) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       list(CAST(s.sv AS BIGINT) ORDER BY s.k) AS bucket_sums
+FROM s JOIN img i USING (asset_id)
+GROUP BY s.asset_id"""
+
+
 # the 11 directed edges of tests/data/small.mtx after the reader's
 # 1-based -> 0-based shift; inlined into the DuckDB oracle so the oracle
 # covers the reader's parse semantics too (weights unused by PageRank)
@@ -1383,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_lsh": q_emb_knn_lsh,
         "emb_knn_ivf": q_emb_knn_ivf,
         "emb_neardup_pairs": q_emb_neardup_pairs,
+        # multimodal (binary columns through Arrow mapInPandas)
+        "mm_image_features": q_mm_image_features,
     }
 
 
@@ -1409,6 +1461,7 @@ SELECT id, out_deg, rk FROM (
         "graph_mtx_pagerank3": _mtx_pagerank3_sql(),
         "graph_builder_random_edges": _builder_random_edges_sql(),
         "graph_builder_grid2d_bfs": _builder_grid2d_bfs_sql(),
+        "mm_image_features": _mm_image_features_sql(),
         "graph_triangle_count": TRIANGLE_SQL,
         "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,
         "tpch_q1_pricing_summary": TPCH_Q1_SQL,
