@@ -269,7 +269,23 @@ class GASEngine:
         that will never be read (a discarded fused block): unpersist the
         underlying checkpointed RDD's blocks. Best-effort — the internal
         LogicalRDD handle mirrors the one ``_cut`` already relies on, and a
-        shape change just leaves the blocks to LRU eviction."""
+        shape change just leaves the blocks to LRU eviction.
+
+        Releasing a locally-checkpointed RDD makes Spark log a WARN that its
+        truncated lineage "cannot be recomputed" — intentional here (the
+        state is superseded and never read again), so that one logger is
+        quieted to ERROR once to keep a 76-superstep run from emitting 76
+        scary-but-expected warnings."""
+        if not getattr(self, "_rdd_warn_quieted", False):
+            self._rdd_warn_quieted = True
+            try:
+                jvm = self.spark._jvm
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    "org.apache.spark.rdd.MapPartitionsRDD",
+                    jvm.org.apache.logging.log4j.Level.ERROR,
+                )
+            except Exception:
+                pass
         try:
             jplan = df._jdf.queryExecution().analyzed()
             # walk through unary nodes (e.g. the Project from .drop()) to

@@ -48,10 +48,16 @@ def get_spark(
     in this sandbox; on a real cluster callers pass nothing and
     spark-submit supplies the master.
     """
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Under spark-submit the gateway JVM already carries --master in its
+        # conf (PYSPARK_GATEWAY_PORT is how PythonRunner hands us that JVM);
+        # forcing a master here would override the cluster manager. The
+        # local[...] fallback is only for bare `python` invocations.
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
-    builder = SparkSession.builder.appName(app_name).master(master)
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
     if shuffle_partitions is not None:
         confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
