@@ -1,15 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched pandas UDFs via mapInPandas.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs): ``decode_image``/``extract_audio_features`` run a
-clearly-marked deterministic fake when ``fake=True`` (default, used by
-tests to validate schema/partitioning/batch shape) and raise
-NotImplementedError otherwise. The Spark-side plumbing — schemas,
-mapInPandas signatures, batch iteration, partition sizing — is real and
-is what matters at 100 TB: binary payloads never leave the executor, the
-UDF streams record batches (no per-row Python), and metadata columns stay
-available for predicate pushdown before the expensive decode.
+Decode kernels: ``fake=True`` (default, used by the oracle gate) runs a
+clearly-marked deterministic fake validating schema/partitioning/batch
+shape; ``fake=False`` runs a REAL codec-free decode for the formats whose
+containers need no external library — binary P6 PPM images and RIFF/PCM
+WAV audio (stdlib ``wave`` + numpy) — and fails loudly on anything else.
+Compressed formats (JPEG/PNG/MP3/H.264) would slot into the same kernels
+but need PIL/ffmpeg, which this container doesn't ship; ``sample_frames``
+(video) therefore stays a stub. The Spark-side plumbing — schemas,
+mapInPandas signatures, batch iteration, partition sizing — is identical
+in both modes and is what matters at 100 TB: binary payloads never leave
+the executor, the UDF streams record batches (no per-row Python), and
+metadata columns stay available for predicate pushdown before the
+expensive decode.
 """
 
 from __future__ import annotations
@@ -59,26 +63,84 @@ def _fake_image_features(payload: bytes, width: int, height: int, dim: int = 8) 
     return arr.reshape(-1, dim).mean(axis=0) / 255.0
 
 
+def _decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Binary P6 PPM -> (width, height, HxWx3 uint8). Pure parsing — the
+    format is an ASCII header plus a raw RGB raster — with loud failure on
+    anything malformed (the reader convention set by sources/mtx.py)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment runs to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[i:j]))
+        i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (want 8-bit)")
+    i += 1  # exactly one whitespace byte separates header from raster
+    if len(payload) - i < w * h * 3:
+        raise ValueError(
+            f"PPM raster truncated: need {w * h * 3} bytes, have {len(payload) - i}"
+        )
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, raster.reshape(h, w, 3)
+
+
+def _real_image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """8 base features in [0, 1]: per-channel mean (3), per-channel std
+    (3), mean luminance, horizontal edge energy — truncated/zero-padded
+    to ``dim``. Vectorized numpy over the decoded raster."""
+    f = img.astype(np.float32) / 255.0
+    lum = f @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    edge = float(np.abs(np.diff(lum, axis=1)).mean()) if lum.shape[1] > 1 else 0.0
+    base = np.concatenate(
+        [f.mean(axis=(0, 1)), f.std(axis=(0, 1)), [lum.mean(), edge]]
+    ).astype(np.float32)
+    if dim <= base.size:
+        return base[:dim]
+    return np.concatenate([base, np.zeros(dim - base.size, dtype=np.float32)])
+
+
 def decode_image(assets: DataFrame, *, fake: bool = True, feature_dim: int = 8) -> DataFrame:
     """Decode + feature-extract image assets -> IMAGE_SCHEMA rows.
-    Real decode is stubbed (no codecs in this environment)."""
-    if not fake:
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv, not available in this container; "
-            "run with fake=True for the deterministic stub"
-        )
+
+    ``fake=False`` decodes binary P6 PPM payloads (codec-free; width and
+    height come from the REAL header, not the metadata columns, so the
+    output is the decoded truth even when metadata lies). Compressed
+    formats would use the same kernel shape with PIL, not shipped here."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _fake_image_features(p, w, h, feature_dim)
-                for p, w, h in zip(pdf["payload"], pdf["meta_width"], pdf["meta_height"])
-            ]
+            if fake:
+                feats = [
+                    _fake_image_features(p, w, h, feature_dim)
+                    for p, w, h in zip(
+                        pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+                    )
+                ]
+                widths = pdf["meta_width"].astype("int32")
+                heights = pdf["meta_height"].astype("int32")
+            else:
+                decoded = [_decode_ppm(p) for p in pdf["payload"]]
+                feats = [_real_image_features(img, feature_dim) for _, _, img in decoded]
+                widths = pd.Series([w for w, _, _ in decoded], dtype="int32")
+                heights = pd.Series([h for _, h, _ in decoded], dtype="int32")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "width": pdf["meta_width"].astype("int32"),
-                    "height": pdf["meta_height"].astype("int32"),
+                    "width": widths,
+                    "height": heights,
                     "channels": np.full(len(pdf), 3, dtype="int32"),
                     "feature": [f.tolist() for f in feats],
                 }
@@ -91,22 +153,56 @@ def decode_image(assets: DataFrame, *, fake: bool = True, feature_dim: int = 8) 
     )
 
 
+def _decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """RIFF/PCM WAV -> (n_samples, sample_rate, float64 samples in [-1, 1]).
+    Stdlib ``wave`` handles the container; numpy converts the PCM frames —
+    no codec library involved. 16-bit mono/stereo PCM only (the format's
+    own uncompressed core); anything else fails loudly."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getcomptype() != "NONE":
+            raise ValueError(f"compressed WAV ({wf.getcomptype()}) needs a codec")
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"only 16-bit PCM supported, got {wf.getsampwidth() * 8}-bit")
+        n, rate, ch = wf.getnframes(), wf.getframerate(), wf.getnchannels()
+        pcm = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.float64)
+    if ch > 1:
+        pcm = pcm.reshape(-1, ch).mean(axis=1)  # downmix to mono
+    return n, rate, pcm / 32768.0
+
+
 def extract_audio_features(assets: DataFrame, *, fake: bool = True) -> DataFrame:
-    """Audio feature extraction (RMS over the fake PCM payload)."""
-    if not fake:
-        raise NotImplementedError("real audio decode not available; use fake=True")
+    """Audio feature extraction -> AUDIO_SCHEMA rows.
+
+    ``fake=False`` decodes RIFF/PCM WAV payloads (stdlib container parse +
+    numpy PCM conversion): n_samples and sample_rate come from the REAL
+    header, rms over the normalized [-1, 1] samples. ``fake=True`` keeps
+    the deterministic byte-fold stub for plumbing tests."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rms = [
-                float(np.sqrt(np.mean(np.frombuffer(p, dtype=np.uint8).astype(np.float64) ** 2)))
-                for p in pdf["payload"]
-            ]
+            if fake:
+                rms = [
+                    float(np.sqrt(np.mean(np.frombuffer(p, dtype=np.uint8).astype(np.float64) ** 2)))
+                    for p in pdf["payload"]
+                ]
+                n_samples = [len(p) for p in pdf["payload"]]
+                rates = pdf["sample_rate"].astype("int32")
+            else:
+                decoded = [_decode_wav(p) for p in pdf["payload"]]
+                rms = [
+                    float(np.sqrt(np.mean(s**2))) if s.size else 0.0
+                    for _, _, s in decoded
+                ]
+                n_samples = [n for n, _, _ in decoded]
+                rates = pd.Series([r for _, r, _ in decoded], dtype="int32")
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "n_samples": [len(p) for p in pdf["payload"]],
-                    "sample_rate": pdf["sample_rate"].astype("int32"),
+                    "n_samples": n_samples,
+                    "sample_rate": rates,
                     "rms": rms,
                 }
             )
@@ -120,9 +216,14 @@ def extract_audio_features(assets: DataFrame, *, fake: bool = True) -> DataFrame
 
 def sample_frames(assets: DataFrame, *, every_n_bytes: int = 64, fake: bool = True) -> DataFrame:
     """Video frame sampling stub: emit one 'frame' (payload slice) per
-    every_n_bytes — exercising the 1->N mapInPandas fan-out shape."""
+    every_n_bytes — exercising the 1->N mapInPandas fan-out shape. Unlike
+    images (PPM) and audio (WAV), no codec-free container format exists
+    for video, so the non-fake branch stays honestly unimplemented."""
     if not fake:
-        raise NotImplementedError("real video decode not available; use fake=True")
+        raise NotImplementedError(
+            "real video decode requires ffmpeg/pyav, not shipped in this "
+            "container; the fake path exercises the identical Spark plumbing"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

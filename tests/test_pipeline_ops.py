@@ -411,10 +411,97 @@ def test_multimodal_audio_and_frames(spark):
     assert all(len(r["frame"]) == 64 for r in frames)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def _ppm(w, h, rgb):
+    """Binary P6 payload with a constant (r, g, b) raster."""
+    import numpy as np
+
+    raster = np.tile(np.array(rgb, dtype=np.uint8), w * h).tobytes()
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + raster
+
+
+def _wav(rate, samples):
+    """16-bit mono PCM WAV payload from float samples in [-1, 1]."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """Non-fake image path: real P6 parse through the same mapInPandas
+    kernel — dimensions come from the decoded header (metadata deliberately
+    lies here), features match a local numpy computation."""
+    rows = [
+        (0, "image", 999, 999, 0, _ppm(4, 2, (255, 0, 0))),   # pure red
+        (1, "image", 999, 999, 0, _ppm(3, 3, (0, 128, 255))),
+        (2, "audio", 0, 0, 8000, b"ignored"),                  # filtered out
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, meta_width int, meta_height int, "
+        "sample_rate int, payload binary",
+    )
+    got = {r["asset_id"]: r for r in decode_image(assets, fake=False).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0]["width"], got[0]["height"]) == (4, 2)  # header, not metadata
+    assert (got[1]["width"], got[1]["height"]) == (3, 3)
+    f0 = got[0]["feature"]
+    # constant red: channel means (1, 0, 0), stds 0, luminance 0.299, edge 0
+    assert f0[0] == pytest.approx(1.0) and f0[1] == 0.0 and f0[2] == 0.0
+    assert f0[3] == f0[4] == f0[5] == 0.0
+    assert f0[6] == pytest.approx(0.299, abs=1e-5) and f0[7] == 0.0
+    assert got[1]["feature"][2] == pytest.approx(1.0)  # blue channel mean
+
+
+def test_multimodal_real_wav_decode(spark):
+    """Non-fake audio path: stdlib wave container parse + numpy PCM —
+    n_samples/sample_rate from the real header, rms over [-1, 1] samples."""
+    import numpy as np
+
+    t = np.arange(800) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rows = [
+        (0, "audio", 0, 0, 0, _wav(8000, sine)),
+        (1, "audio", 0, 0, 0, _wav(16000, np.zeros(100))),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, meta_width int, meta_height int, "
+        "sample_rate int, payload binary",
+    )
+    got = {r["asset_id"]: r for r in extract_audio_features(assets, fake=False).collect()}
+    assert got[0]["n_samples"] == 800 and got[0]["sample_rate"] == 8000
+    # rms of a 0.5-amplitude sine = 0.5 / sqrt(2)
+    assert got[0]["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert got[1]["n_samples"] == 100 and got[1]["sample_rate"] == 16000
+    assert got[1]["rms"] == 0.0
+
+
+def test_multimodal_malformed_payloads_fail_loudly():
+    """Codec-free decoders reject garbage with a clear error (the loud-
+    failure convention of sources/mtx.py) — unit level, no Spark."""
+    from mirrorofmapgraph_spark.operators.multimodal import _decode_ppm, _decode_wav
+
+    with pytest.raises(ValueError, match="P6"):
+        _decode_ppm(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n4 4\n255\n\x00\x00")  # raster too short
+    with pytest.raises(Exception):  # wave rejects a non-RIFF container
+        _decode_wav(b"not a riff chunk")
+
+
+def test_multimodal_real_video_still_stubbed(spark):
     assets = synthesize_assets(spark, n=3)
     with pytest.raises(NotImplementedError):
-        decode_image(assets, fake=False)
+        sample_frames(assets, fake=False)
 
 
 # ---- grouped-star hot-bucket fallback (round-3 ADVICE fix) -----------------
