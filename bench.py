@@ -50,8 +50,14 @@ HEADLINE = [
     "emb_neardup_pairs",
 ]
 
-SCALE_EDGES = int(os.environ.get("MOMG_BENCH_SCALE_EDGES", 16_000_000))
-SCALE_ITERS = int(os.environ.get("MOMG_BENCH_SCALE_ITERS", 4))
+# Sized so a 1-core fresh-JVM leg stays ~2-3 min on this VM: the round-4
+# dress rehearsal at 16M edges saw the 1-core leg take ~480 s under VM
+# slowdown, starving the 4-core leg and losing the whole scaling section
+# to the watchdog. 6M x 3 supersteps keeps per-superstep wall >> the ~1 s
+# fixed floor (so efficiency measures dataflow, not scheduling) while two
+# interleaved pairs fit the default budget with headroom.
+SCALE_EDGES = int(os.environ.get("MOMG_BENCH_SCALE_EDGES", 6_000_000))
+SCALE_ITERS = int(os.environ.get("MOMG_BENCH_SCALE_ITERS", 3))
 BUDGET_SEC = float(os.environ.get("MOMG_BENCH_BUDGET_SEC", 960))
 
 _T0 = time.monotonic()
@@ -79,16 +85,21 @@ def synth_edges(spark, m: int, v: int):
     return e.filter(F.col("src") != F.col("dst")).withColumn("w", F.lit(1.0))
 
 
-def scaling_run_subprocess(cores: int, partitions: int, timeout: float) -> dict:
+def scaling_run_subprocess(
+    cores: int, partitions: int, timeout: float, edges: int | None = None
+) -> dict:
     """Run one scaling level in a FRESH process: PySpark local mode reuses
     the same JVM across SparkContext restarts within a process, so
     back-to-back in-process runs inherit heap fragmentation/GC debris from
     each other (measured 3x variance). A subprocess gives each level a
-    clean JVM."""
+    clean JVM. ``edges`` overrides the child's SCALE_EDGES (the shrink-and-
+    retry fallback when a leg can't finish inside the budget)."""
     import subprocess
 
     cmd = [sys.executable, __file__, "--scale-worker", str(cores), str(partitions)]
     env = dict(os.environ)
+    if edges is not None:
+        env["MOMG_BENCH_SCALE_EDGES"] = str(edges)
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, timeout=max(30.0, timeout)
     )
@@ -348,6 +359,38 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
     )
     qs = entrymod.queries()
     per_query = out["queries"]
+
+    # Per-ACTION cap: a contention burst once pinned a normally-9 s query
+    # for 10+ minutes, eating the whole budget and starving the scaling
+    # section (the north-rule evidence). A timer thread cancels all Spark
+    # jobs when one action exceeds the cap; the query records -1 and the
+    # run moves on. 240 s >> every query's clean time (max ~36 s), so only
+    # a pathological run is ever cancelled.
+    import threading
+
+    action_cap = float(os.environ.get("MOMG_BENCH_QUERY_CAP_SEC", 240))
+    sc = spark.sparkContext
+
+    def run_capped(action):
+        finished = threading.Event()
+
+        def killer():
+            if not finished.wait(min(action_cap, max(30.0, remaining()))):
+                print("bench: action cap hit — cancelling Spark jobs",
+                      file=sys.stderr)
+                try:
+                    sc.cancelAllJobs()
+                except Exception:
+                    pass
+
+        th = threading.Thread(target=killer, daemon=True)
+        th.start()
+        try:
+            return action()
+        finally:
+            finished.set()
+            th.join(timeout=5)
+
     # This sandbox VM shows bursty external contention (measured up to 28x
     # one-off inflation on a 13s query). Protocol: 1 rep always; a 2nd rep
     # when the first is cheap enough that the scaling reserve survives it
@@ -364,12 +407,16 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
 
                 best = None
                 reps_done = 0
-                while reps_done < 2:
-                    t1 = time.monotonic()
+                def _pr_rep():
                     res = pagerank(
                         spark, entrymod._edges(spark, sf_dir), tol=1e-6, max_iter=200
                     )
                     res.vertices.count()
+                    return res
+
+                while reps_done < 2:
+                    t1 = time.monotonic()
+                    res = run_capped(_pr_rep)
                     wall = time.monotonic() - t1
                     reps_done += 1
                     if best is None or wall < best[0]:
@@ -395,7 +442,7 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
                 reps: list[float] = []
                 while True:
                     t1 = time.monotonic()
-                    fn(spark, sf_dir).count()
+                    run_capped(lambda: fn(spark, sf_dir).count())
                     reps.append(time.monotonic() - t1)
                     if len(reps) >= 3:
                         break
@@ -407,6 +454,10 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
                     if len(reps) == 2 and min(reps) > 120.0:
                         break  # genuinely heavy; don't triple the cost
                 per_query[name] = round(min(reps), 3)
+        except BenchTimeout:  # the budget watchdog is NOT a query failure:
+            raise  # propagate so main() finalizes (swallowing it here once
+            # let a burst-stalled run blunder past its budget until the
+            # driver's hard kill landed with nothing finalized)
         except Exception as ex:  # record failures, don't die mid-bench
             per_query[name] = -1.0
             print(f"bench query {name} failed: {ex}", file=sys.stderr)
@@ -439,7 +490,11 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
         pairs = []
         max_pairs = int(os.environ.get("MOMG_BENCH_SCALE_REPS", "3"))
         pair_cost = 300.0  # prior estimate; replaced by measured after pair 1
+        scale_edges = SCALE_EDGES
         while len(pairs) < max_pairs:
+            if remaining() < 90:  # no time for even a shrunken pair
+                out["skipped"].append(f"scaling_pair_{len(pairs) + 1}")
+                break
             if pairs and remaining() < pair_cost + 60:
                 out["skipped"].append(f"scaling_pair_{len(pairs) + 1}")
                 break
@@ -447,11 +502,29 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
                 out["skipped"].append("scaling_pair_3")
                 break
             t_pair = time.monotonic()
-            a = scaling_run_subprocess(1, 16, remaining())
-            b = scaling_run_subprocess(4, 16, remaining())
+            # per-leg cap: one slow leg must not starve everything after it
+            # (the round-4 dress rehearsal lost the whole section that way)
+            try:
+                a = scaling_run_subprocess(
+                    1, 16, min(remaining(), 420.0), edges=scale_edges
+                )
+                b = scaling_run_subprocess(
+                    4, 16, min(remaining(), 420.0), edges=scale_edges
+                )
+            except Exception as ex:
+                if not pairs and scale_edges > SCALE_EDGES // 4:
+                    # no evidence yet: shrink the job once and retry —
+                    # a half-size pair beats an empty scaling record
+                    scale_edges //= 2
+                    print(
+                        f"scaling pair failed ({ex}); retrying with "
+                        f"{scale_edges} edges", file=sys.stderr,
+                    )
+                    continue
+                raise
             pairs.append((a, b))
             pair_cost = time.monotonic() - t_pair
-            _flush_scaling(out, pairs)
+            _flush_scaling(out, pairs, scale_edges)
             flush(out, sf_dir, cpus)
         # skew evidence (north-rule: skew handled explicitly) outranks the
         # transparency extras below when the budget is tight
@@ -498,6 +571,8 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
                 flush(out, sf_dir, cpus)
         else:
             out["skipped"].append("cpu_probe")
+    except BenchTimeout:
+        raise  # budget watchdog — finalize in main(), don't chain sections
     except Exception as ex:
         print(f"scaling run failed: {ex}", file=sys.stderr)
         _skew_section(out, sf_dir, cpus)
@@ -524,13 +599,15 @@ def _skew_section(out: dict, sf_dir: str, cpus: int) -> None:
                 spark2.stop()
                 SparkSession.builder._options = {}  # noqa: SLF001
             flush(out, sf_dir, cpus)
+        except BenchTimeout:
+            raise
         except Exception as ex:
             print(f"skew bench failed: {ex}", file=sys.stderr)
     else:
         out["skipped"].append("skew_bench")
 
 
-def _flush_scaling(out: dict, pairs: list) -> None:
+def _flush_scaling(out: dict, pairs: list, scale_edges: int = SCALE_EDGES) -> None:
     small_mins = [a["min_step_sec"] for a, _ in pairs]
     big_mins = [b["min_step_sec"] for _, b in pairs]
     pair_effs = [
@@ -541,7 +618,7 @@ def _flush_scaling(out: dict, pairs: list) -> None:
     conservative = min(pair_effs)
     raw_median = round(_med(small_mins) / _med(big_mins) / 4.0, 3)
     out["scaling"] = {
-        "job": f"pagerank tol=0 x{SCALE_ITERS} supersteps, {SCALE_EDGES} synthetic edges",
+        "job": f"pagerank tol=0 x{SCALE_ITERS} supersteps, {scale_edges} synthetic edges",
         "protocol": f"interleaved A/B x{len(pairs)} fresh-JVM pairs, "
                     "per-rep min-superstep walls; headline = min of per-pair "
                     "efficiencies (conservative <= measured)",
