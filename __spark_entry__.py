@@ -336,6 +336,57 @@ FROM s JOIN img i USING (asset_id)
 GROUP BY s.asset_id"""
 
 
+def q_mm_video_frames(spark, sf_dir):
+    """REAL (non-fake) video decode under the VALUE gate: synthesize valid
+    YUV4MPEG2 payloads whose luma planes are sha256-hex ASCII (so the
+    whole container round-trips through strings and DuckDB can rebuild
+    it), run the genuine ``sample_frames(fake=False)`` container parse in
+    the Arrow mapInPandas kernel with every_n_frames=2, and return each
+    sampled frame's decoded luma as text. Pins the header parse (W/H/C444
+    frame sizing), the FRAME-marker walk, source-index sampling, and the
+    luma-plane slice. Ignores sf_dir — the asset table is its own
+    deterministic input."""
+    from mirrorofmapgraph_spark.operators.multimodal import sample_frames
+
+    w, h, n_frames = 4, 6, 6  # C444: frame = 3*w*h bytes (luma 24 + chroma 48)
+    frame_exprs = [
+        F.concat(
+            F.lit("FRAME\n"),
+            F.substring(
+                F.sha2(F.concat(F.col("id").cast("string"), F.lit(f"-{f}")), 256),
+                1, w * h,
+            ),
+            F.lit("x" * (2 * w * h)),
+        )
+        for f in range(n_frames)
+    ]
+    assets = spark.range(12).select(
+        F.col("id").alias("asset_id"),
+        F.lit("video").alias("kind"),
+        F.encode(
+            F.concat(F.lit(f"YUV4MPEG2 W{w} H{h} F25:1 C444\n"), *frame_exprs),
+            "utf-8",
+        ).alias("payload"),
+    )
+    return sample_frames(assets, every_n_frames=2, fake=False).select(
+        "asset_id",
+        "frame_idx",
+        F.decode("frame", "utf-8").alias("luma"),
+    )
+
+
+def _mm_video_frames_sql() -> str:
+    # mirrors q_mm_video_frames: luma of frame f = first 24 hex chars of
+    # sha256('<id>-<f>'); sampling every 2nd of 6 frames keeps 0, 2, 4
+    return """
+WITH ids AS (SELECT range AS asset_id FROM range(0, 12)),
+fs AS (SELECT range AS frame_idx FROM range(0, 6) WHERE range % 2 = 0)
+SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       substr(sha256(CAST(asset_id AS VARCHAR) || '-' ||
+                     CAST(frame_idx AS VARCHAR)), 1, 24) AS luma
+FROM ids CROSS JOIN fs"""
+
+
 # the 11 directed edges of tests/data/small.mtx after the reader's
 # 1-based -> 0-based shift; inlined into the DuckDB oracle so the oracle
 # covers the reader's parse semantics too (weights unused by PageRank)
@@ -1435,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         # multimodal (binary columns through Arrow mapInPandas)
         "mm_image_features": q_mm_image_features,
+        "mm_video_frames": q_mm_video_frames,
     }
 
 
@@ -1462,6 +1514,7 @@ SELECT id, out_deg, rk FROM (
         "graph_builder_random_edges": _builder_random_edges_sql(),
         "graph_builder_grid2d_bfs": _builder_grid2d_bfs_sql(),
         "mm_image_features": _mm_image_features_sql(),
+        "mm_video_frames": _mm_video_frames_sql(),
         "graph_triangle_count": TRIANGLE_SQL,
         "graph_triangles_per_vertex": TRIANGLES_PER_VERTEX_SQL,
         "tpch_q1_pricing_summary": TPCH_Q1_SQL,

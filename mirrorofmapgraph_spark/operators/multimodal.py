@@ -4,11 +4,12 @@ with typed metadata, processed in Arrow-batched pandas UDFs via mapInPandas.
 Decode kernels: ``fake=True`` (default, used by the oracle gate) runs a
 clearly-marked deterministic fake validating schema/partitioning/batch
 shape; ``fake=False`` runs a REAL codec-free decode for the formats whose
-containers need no external library — binary P6 PPM images and RIFF/PCM
-WAV audio (stdlib ``wave`` + numpy) — and fails loudly on anything else.
+containers need no external library — binary P6 PPM images, RIFF/PCM WAV
+audio (stdlib ``wave`` + numpy), and YUV4MPEG2 (.y4m) video (text header
+plus fixed-size raw YUV planes) — and fails loudly on anything else.
 Compressed formats (JPEG/PNG/MP3/H.264) would slot into the same kernels
-but need PIL/ffmpeg, which this container doesn't ship; ``sample_frames``
-(video) therefore stays a stub. The Spark-side plumbing — schemas,
+but need PIL/ffmpeg, which this container doesn't ship. The Spark-side
+plumbing — schemas,
 mapInPandas signatures, batch iteration, partition sizing — is identical
 in both modes and is what matters at 100 TB: binary payloads never leave
 the executor, the UDF streams record batches (no per-row Python), and
@@ -214,25 +215,88 @@ def extract_audio_features(assets: DataFrame, *, fake: bool = True) -> DataFrame
     )
 
 
-def sample_frames(assets: DataFrame, *, every_n_bytes: int = 64, fake: bool = True) -> DataFrame:
-    """Video frame sampling stub: emit one 'frame' (payload slice) per
-    every_n_bytes — exercising the 1->N mapInPandas fan-out shape. Unlike
-    images (PPM) and audio (WAV), no codec-free container format exists
-    for video, so the non-fake branch stays honestly unimplemented."""
-    if not fake:
-        raise NotImplementedError(
-            "real video decode requires ffmpeg/pyav, not shipped in this "
-            "container; the fake path exercises the identical Spark plumbing"
-        )
+def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """YUV4MPEG2 (.y4m) -> (width, height, per-frame raw luma planes).
+
+    The codec-free video container (public spec: mjpegtools yuv4mpeg(5)):
+    one ASCII header line (``YUV4MPEG2 W<w> H<h> F<fps> ... C<cs>``), then
+    each frame as a ``FRAME`` marker line plus a fixed-size block of raw
+    YUV planes — pure byte arithmetic, no compression. Loud failure on
+    anything malformed (the reader convention set by sources/mtx.py)."""
+    eol = payload.find(b"\n")
+    if eol < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    cs = "420"
+    for tok in payload[9:eol].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            cs = val.decode("ascii")
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("420"):
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("422"):
+        frame_size = w * h + 2 * ((w // 2) * h)
+    elif cs.startswith("444"):
+        frame_size = 3 * w * h
+    elif cs.startswith("mono"):
+        frame_size = w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    frames: list[bytes] = []
+    i = eol + 1
+    while i < len(payload):
+        feol = payload.find(b"\n", i)
+        if feol < 0 or not payload[i:feol].startswith(b"FRAME"):
+            raise ValueError(f"y4m FRAME marker missing at byte {i}")
+        start = feol + 1
+        if len(payload) - start < frame_size:
+            raise ValueError(
+                f"y4m frame truncated: need {frame_size} bytes, "
+                f"have {len(payload) - start}"
+            )
+        frames.append(payload[start : start + w * h])  # luma plane only
+        i = start + frame_size
+    return w, h, frames
+
+
+def sample_frames(
+    assets: DataFrame,
+    *,
+    every_n_bytes: int = 64,
+    every_n_frames: int = 1,
+    fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling -> FRAME_SCHEMA rows (1->N mapInPandas fan-out).
+
+    ``fake=False`` decodes YUV4MPEG2 payloads and emits every
+    ``every_n_frames``-th frame's raw luma plane, with ``frame_idx`` the
+    frame's index in the SOURCE stream (so downstream joins against
+    timestamps stay correct under sampling). ``fake=True`` slices the
+    payload every ``every_n_bytes`` — the deterministic plumbing stub used
+    by the oracle gate. Compressed containers (MP4/H.264) would use the
+    same kernel shape with pyav, not shipped here."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
-                for i, off in enumerate(range(0, len(p), every_n_bytes)):
-                    ids.append(aid)
-                    idxs.append(i)
-                    frames.append(p[off : off + every_n_bytes])
+                if fake:
+                    for i, off in enumerate(range(0, len(p), every_n_bytes)):
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(p[off : off + every_n_bytes])
+                else:
+                    _, _, lumas = _decode_y4m(p)
+                    for i in range(0, len(lumas), every_n_frames):
+                        ids.append(aid)
+                        idxs.append(i)
+                        frames.append(lumas[i])
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame": frames})
 
     return (

@@ -498,10 +498,46 @@ def test_multimodal_malformed_payloads_fail_loudly():
         _decode_wav(b"not a riff chunk")
 
 
-def test_multimodal_real_video_still_stubbed(spark):
-    assets = synthesize_assets(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        sample_frames(assets, fake=False)
+def _y4m(w, h, lumas, colorspace=b"C420jpeg"):
+    """YUV4MPEG2 payload: header + per-frame luma plane (+ flat chroma)."""
+    chroma = bytes((w // 2) * (h // 2)) * 2
+    body = b"".join(b"FRAME\n" + luma + chroma for luma in lumas)
+    return b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 %s\n" % (w, h, colorspace) + body
+
+
+def test_multimodal_real_y4m_frame_sampling(spark):
+    """Non-fake video path: YUV4MPEG2 container parse through the same
+    mapInPandas kernel — every_n_frames sampling keeps SOURCE frame
+    indices, and each emitted frame is the decoded raw luma plane."""
+    lumas = [bytes([i] * 8) for i in range(5)]  # 4x2, 5 frames
+    rows = [
+        (0, "video", 0, 0, 0, _y4m(4, 2, lumas)),
+        (1, "image", 0, 0, 0, b"filtered out"),
+    ]
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, meta_width int, meta_height int, "
+        "sample_rate int, payload binary",
+    )
+    got = sorted(
+        sample_frames(assets, every_n_frames=2, fake=False).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]  # source indices
+    assert [bytes(r["frame"]) for r in got] == [lumas[0], lumas[2], lumas[4]]
+
+
+def test_multimodal_y4m_malformed_fails_loudly():
+    from mirrorofmapgraph_spark.operators.multimodal import _decode_y4m
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_y4m(b"YUV4MPEG2 W4 H2 C420\nFRAME\n\x00\x00")
+    with pytest.raises(ValueError, match="FRAME marker"):
+        _decode_y4m(b"YUV4MPEG2 W2 H2 C420\nJUNK\n" + bytes(6))
+    with pytest.raises(ValueError, match="colorspace"):
+        _decode_y4m(b"YUV4MPEG2 W2 H2 C999\nFRAME\n" + bytes(12))
 
 
 # ---- grouped-star hot-bucket fallback (round-3 ADVICE fix) -----------------
