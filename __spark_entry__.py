@@ -227,6 +227,94 @@ def q_triangles_per_vertex(spark, sf_dir):
     return triangle_count_per_vertex(_edges(spark, sf_dir))
 
 
+# deterministic personalization seed set (same arithmetic style as
+# BFS_MULTI_SOURCES; ids not in the graph simply contribute no teleport)
+PPR_SOURCES = [(i * 911 + 3) % V for i in range(4)]
+
+
+def q_ppr3(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.pagerank import personalized_pagerank
+
+    res = personalized_pagerank(
+        spark, _edges(spark, sf_dir), PPR_SOURCES,
+        tol=0.0, max_iter=3, collect_metrics=False,
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _ppr3_sql() -> str:
+    srcs = ", ".join(str(s) for s in sorted(set(PPR_SOURCES)))
+    ind = f"(CASE WHEN {{a}}.id IN ({srcs}) THEN 1.0 ELSE 0.0 END)"
+    deg = "deg AS (SELECT src, COUNT(*) AS outd FROM edges GROUP BY src)"
+    body = [f"WITH {EDGES_CTE.strip()},", deg + ",",
+            f"r0 AS (SELECT id, CAST(0.15 * {ind.format(a='verts')} AS DOUBLE) AS pr FROM verts)"]
+    for k in range(1, 4):
+        body.append(
+            f""",r{k} AS (
+  SELECT v.id, 0.15 * {ind.format(a='v')} + 0.85 * COALESCE(s.g, 0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{k-1}.pr / deg.outd) AS g
+    FROM edges e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst) s USING (id))"""
+        )
+    body.append("SELECT id, ROUND(pr, 6) AS pr FROM r3")
+    return "\n".join(body)
+
+
+def q_hits2(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.hits import hits
+
+    return hits(spark, _edges(spark, sf_dir), iters=2)
+
+
+def _hits2_sql() -> str:
+    body = [f"WITH {EDGES_CTE.strip()},",
+            "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM verts)"]
+    for t in (1, 2):
+        body.append(f""",a{t}r AS (
+  SELECT e.dst AS id, SUM(h{t-1}.hub) AS raw
+  FROM edges e JOIN h{t-1} ON h{t-1}.id = e.src GROUP BY e.dst)""")
+        body.append(f""",a{t} AS MATERIALIZED (
+  SELECT v.id, COALESCE(r.raw / t.tot, 0.0) AS auth
+  FROM verts v LEFT JOIN a{t}r r USING (id)
+  CROSS JOIN (SELECT SUM(raw) AS tot FROM a{t}r) t)""")
+        body.append(f""",h{t}r AS (
+  SELECT e.src AS id, SUM(a{t}.auth) AS raw
+  FROM edges e JOIN a{t} ON a{t}.id = e.dst GROUP BY e.src)""")
+        body.append(f""",h{t} AS MATERIALIZED (
+  SELECT v.id, COALESCE(r.raw / t.tot, 0.0) AS hub
+  FROM verts v LEFT JOIN h{t}r r USING (id)
+  CROSS JOIN (SELECT SUM(raw) AS tot FROM h{t}r) t)""")
+    body.append("SELECT h2.id, ROUND(h2.hub, 6) AS hub, ROUND(a2.auth, 6) AS auth "
+                "FROM h2 JOIN a2 USING (id)")
+    return "\n".join(body)
+
+
+# k chosen so the core is NON-trivial at sf0.01 (2191 of 4000 vertices
+# survive, fixpoint in 4 peel rounds — measured); the 10-round unroll is
+# a safe overshoot (peeling is monotone, extra rounds are no-ops).
+KCORE_K = 20
+KCORE_UNROLL = 10
+
+
+def q_kcore(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.kcore import kcore
+
+    return kcore(spark, _edges(spark, sf_dir), KCORE_K)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_UNROLL) -> str:
+    body = [f"WITH {EDGES_CTE.strip()},", SYM_CTE.strip() + ",",
+            "s0 AS (SELECT id FROM verts)"]
+    for r in range(1, rounds + 1):
+        body.append(f""",s{r} AS MATERIALIZED (
+  SELECT s.src AS id, COUNT(*) AS deg
+  FROM sym s JOIN s{r-1} a ON a.id = s.src JOIN s{r-1} b ON b.id = s.dst
+  GROUP BY s.src HAVING COUNT(*) >= {k})""")
+    body.append(f"SELECT id, deg FROM s{rounds}")
+    return "\n".join(body)
+
+
 def q_mtx_pagerank3(spark, sf_dir):
     """Reference fixture parity under the VALUE gate: the whole
     mtx -> edges -> GAS path (smallRegressionGraphs/small.mtx mirror,
@@ -727,6 +815,148 @@ SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) 
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 adapted to the synthetic schema (no l_commitdate /
+    l_receiptdate): the EXISTS probe becomes "some lineitem shipped after
+    the order date". Exercises the left-semi join path — at scale a
+    shuffle hash semi-join on l_orderkey, never a row-widening inner."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting) on the available columns:
+    top-20 customers by revenue from 'R'-flagged lineitems in a quarter.
+    nation is broadcast; the top-20 uses the windowless distributed
+    partial top-k (no single-partition global window)."""
+    from mirrorofmapgraph_spark.functions.ranking import ranked_top_k
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+            & (F.col("l_returnflag") == "R")
+        )
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(_dec(rev)).cast("double").alias("revenue")
+    )
+    key = F.struct((-F.col("revenue")).alias("r"), F.col("c_custkey").alias("k"))
+    return ranked_top_k(agg, key, 20).select(
+        "c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk"
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rk FROM (
+  SELECT c_custkey, c_name,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+    c_acctbal, n_name,
+    ROW_NUMBER() OVER (ORDER BY CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) DESC, c_custkey ASC) AS rk
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name)
+WHERE rk <= 20"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promo revenue %). The synthetic p_type is a single word,
+    so the LIKE 'PROMO%' prefix test becomes equality. Conditional decimal
+    sums keep the ratio exact and engine-order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _dec(rev)).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return j.agg(
+        F.round(
+            F.sum(promo).cast("double") * 100.0 / F.sum(_dec(rev)).cast("double"), 6
+        ).alias("promo_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT ROUND(
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) * 100.0
+    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+    6) AS promo_revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 300. The HAVING subquery becomes a pre-aggregated frame joined
+    back — at scale the groupBy shuffles once on l_orderkey and the tiny
+    survivor set (46 rows at sf0.01) broadcasts into the orders join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300.0)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"
+        )
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 300.0) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey"""
 
 
 def q_orders_top_per_priority(spark, sf_dir):
@@ -1447,6 +1677,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GAS algorithms, run to convergence (iterative -> rows-only)
         "graph_pagerank_converged": q_pagerank_converged,
         "graph_cc_converged": q_cc_converged,
+        # link-analysis beyond the reference's four kernels
+        "graph_ppr3": q_ppr3,
+        "graph_hits2": q_hits2,
+        "graph_kcore": q_kcore,
         # one-shot graph dataflow
         "graph_triangle_count": q_triangle_count,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
@@ -1462,6 +1696,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping_priority": q_tpch_q3,
         "tpch_q5_local_supplier_volume": q_tpch_q5,
         "tpch_q6_forecast_revenue": q_tpch_q6,
+        "tpch_q4_order_priority": q_tpch_q4,
+        "tpch_q10_returned_items": q_tpch_q10,
+        "tpch_q14_promo_revenue": q_tpch_q14,
+        "tpch_q18_large_volume": q_tpch_q18,
         "orders_top_per_priority": q_orders_top_per_priority,
         # events / streaming-shaped
         "events_hourly_by_type": q_events_hourly,
@@ -1502,6 +1740,9 @@ SELECT id, out_deg, rk FROM (
     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, src ASC) AS rk
   FROM edges GROUP BY src) WHERE rk <= 20""",
         "graph_pagerank3": _pagerank3_sql(),
+        "graph_ppr3": _ppr3_sql(),
+        "graph_hits2": _hits2_sql(),
+        "graph_kcore": _kcore_sql(),
         "graph_cc3": _cc3_sql(),
         "graph_labelprop2": _labelprop2_sql(),
         "graph_bfs3": _bfs3_sql(),
@@ -1521,6 +1762,10 @@ SELECT id, out_deg, rk FROM (
         "tpch_q3_shipping_priority": TPCH_Q3_SQL,
         "tpch_q5_local_supplier_volume": TPCH_Q5_SQL,
         "tpch_q6_forecast_revenue": TPCH_Q6_SQL,
+        "tpch_q4_order_priority": TPCH_Q4_SQL,
+        "tpch_q10_returned_items": TPCH_Q10_SQL,
+        "tpch_q14_promo_revenue": TPCH_Q14_SQL,
+        "tpch_q18_large_volume": TPCH_Q18_SQL,
         "orders_top_per_priority": ORDERS_TOP_SQL,
         "events_hourly_by_type": EVENTS_HOURLY_SQL,
         "events_sessionize": EVENTS_SESSIONIZE_SQL,

@@ -51,6 +51,82 @@ def pagerank_program(damping: float = 0.85, tol: float = 1e-6) -> GASProgram:
     )
 
 
+def personalized_pagerank_program(
+    damping: float = 0.85, tol: float = 1e-6
+) -> GASProgram:
+    """PageRank with the teleport mass restricted to a source set: the
+    uniform base term becomes ``base * src_w`` (src_w = 1.0 on sources,
+    0.0 elsewhere — carried as a state column so apply stays a pure
+    Column expression). Same gather/combiner/frontier-exit semantics as
+    :func:`pagerank_program` (Algorithms/PageRank/PageRank.h:233-283)."""
+    base = 1.0 - damping
+
+    return GASProgram(
+        name="personalized_pagerank",
+        mode="pull",
+        state_cols=("rank", "out_deg", "src_w"),
+        message=lambda df: F.col("rank") / F.col("out_deg"),
+        combiner=F.sum,
+        apply=lambda df: {
+            "rank": F.when(
+                F.col("_in_frontier"),
+                F.lit(base) * F.col("src_w")
+                + F.lit(damping) * F.coalesce(F.col("_gathered"), F.lit(0.0)),
+            ).otherwise(F.col("rank"))
+        },
+        changed=lambda df: F.col("_in_frontier")
+        & (F.abs(F.col("_new_rank") - F.col("rank")) >= F.lit(tol)),
+        has_out_edges=lambda df: F.col("out_deg") > 0,
+    )
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources,
+    *,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    engine: GASEngine | None = None,
+    **engine_kwargs,
+) -> GASResult:
+    """Personalized PageRank seeded at ``sources`` (an id, a list of ids,
+    or a 1-column DataFrame); result.vertices = (id, rank, out_deg, src_w).
+
+    r_0(v) = base * 1[v in S];  r_{t+1}(v) = base * 1[v in S]
+             + damping * sum_{u->v} r_t(u) / out_deg(u)
+
+    The source set rides as a broadcast-joined indicator column, so the
+    big vertex frame is touched once — no driver-side membership test.
+    """
+    if engine is None:
+        engine = GASEngine(spark, edges, **engine_kwargs)
+    if vertices is None:
+        vertices = vertex_frame(edges)
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("id")).dropDuplicates()
+    else:
+        ids = [sources] if not isinstance(sources, (list, tuple)) else list(sources)
+        src_df = spark.createDataFrame([(int(i),) for i in ids], "id long").dropDuplicates()
+    deg = out_degrees(edges)
+    base = 1.0 - damping
+    v0 = (
+        vertices.join(deg, on="id", how="left")
+        .join(F.broadcast(src_df.withColumn("_is_src", F.lit(1.0))), "id", "left")
+        .select(
+            "id",
+            (F.lit(base) * F.coalesce("_is_src", F.lit(0.0))).alias("rank"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("_is_src", F.lit(0.0)).alias("src_w"),
+        )
+    )
+    frontier0 = vertices.select("id")
+    prog = personalized_pagerank_program(damping=damping, tol=tol)
+    return engine.run(prog, v0, frontier0, max_iter=max_iter)
+
+
 def pagerank(
     spark: SparkSession,
     edges: DataFrame,

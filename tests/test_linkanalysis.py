@@ -1,0 +1,163 @@
+"""HITS / personalized PageRank / k-core vs pure-python oracles.
+
+Same oracle style as tests/oracles.py (independent re-derivations, no
+Spark, no DuckDB); these three operators extend the reference's kernel set
+(Algorithms/{BFS,CC,PageRank,SSSP}) with the next link-analysis layer.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from fixtures import MULTI, MULTI_N, SMALL, SMALL_N, random_graph
+
+from mirrorofmapgraph_spark.operators.hits import hits
+from mirrorofmapgraph_spark.operators.kcore import kcore
+from mirrorofmapgraph_spark.operators.pagerank import personalized_pagerank
+
+
+# ---- oracles --------------------------------------------------------------
+
+def hits_ref(n, edges, iters):
+    """L1-normalized HITS, authority-then-hub per iteration."""
+    out_nbrs, in_nbrs = defaultdict(list), defaultdict(list)
+    for s, d, _w in edges:
+        out_nbrs[s].append(d)
+        in_nbrs[d].append(s)
+    hub = [1.0] * n
+    auth = [0.0] * n
+    for _ in range(iters):
+        raw = [sum(hub[u] for u in in_nbrs[v]) for v in range(n)]
+        tot = sum(raw)
+        auth = [r / tot if tot else 0.0 for r in raw]
+        raw = [sum(auth[v] for v in out_nbrs[u]) for u in range(n)]
+        tot = sum(raw)
+        hub = [r / tot if tot else 0.0 for r in raw]
+    return hub, auth
+
+
+def ppr_ref(n, edges, sources, iters, damping=0.85):
+    """Unrolled synchronous personalized PageRank (full frontier)."""
+    in_nbrs, out_deg = defaultdict(list), [0] * n
+    for s, d, _w in edges:
+        in_nbrs[d].append(s)
+        out_deg[s] += 1
+    base = 1.0 - damping
+    ind = [1.0 if v in set(sources) else 0.0 for v in range(n)]
+    rank = [base * ind[v] for v in range(n)]
+    for _ in range(iters):
+        rank = [
+            base * ind[v]
+            + damping * sum(rank[u] / out_deg[u] for u in in_nbrs[v])
+            for v in range(n)
+        ]
+    return rank
+
+
+def kcore_ref(n, edges, k):
+    """Peel to fixpoint; returns {id: within-core degree}."""
+    nbrs = defaultdict(set)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    alive = {v for v in range(n) if nbrs[v]}
+    while True:
+        deg = {v: len(nbrs[v] & alive) for v in alive}
+        nxt = {v for v in alive if deg[v] >= k}
+        if nxt == alive:
+            return {v: deg[v] for v in alive}
+        alive = nxt
+        if not alive:
+            return {}
+
+
+# ---- HITS ------------------------------------------------------------------
+
+def check_hits(spark, make_edges, edges, n, iters):
+    got = {
+        r["id"]: (r["hub"], r["auth"])
+        for r in hits(spark, make_edges(edges), iters=iters).collect()
+    }
+    hub, auth = hits_ref(n, edges, iters)
+    for v, (gh, ga) in got.items():
+        assert math.isclose(gh, hub[v], abs_tol=1.5e-6), (v, gh, hub[v])
+        assert math.isclose(ga, auth[v], abs_tol=1.5e-6), (v, ga, auth[v])
+
+
+def test_hits_small(spark, make_edges):
+    check_hits(spark, make_edges, SMALL, SMALL_N, iters=3)
+
+
+def test_hits_random(spark, make_edges):
+    check_hits(spark, make_edges, random_graph(n=120, m=700, seed=5), 120, iters=2)
+
+
+# ---- personalized PageRank ---------------------------------------------------
+
+def check_ppr(spark, make_edges, make_vertices, edges, n, sources, iters):
+    res = personalized_pagerank(
+        spark, make_edges(edges), sources,
+        vertices=make_vertices(n), tol=0.0, max_iter=iters,
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    expected = ppr_ref(n, edges, sources, iters)
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert math.isclose(got[v], expected[v], abs_tol=1e-9), (v, got[v], expected[v])
+
+
+def test_ppr_small(spark, make_edges, make_vertices):
+    check_ppr(spark, make_edges, make_vertices, SMALL, SMALL_N, [0], 3)
+
+
+def test_ppr_multi_source(spark, make_edges, make_vertices):
+    check_ppr(
+        spark, make_edges, make_vertices,
+        random_graph(n=150, m=900, seed=7), 150, [3, 20, 77], 3,
+    )
+
+
+def test_ppr_mass_localizes(spark, make_edges, make_vertices):
+    """Teleport restricted to sources: a vertex unreachable from the
+    source set must end with rank exactly 0."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0)]  # 5,6 unreachable from 0
+    res = personalized_pagerank(
+        spark, make_edges(edges), [0], vertices=make_vertices(7),
+        tol=0.0, max_iter=4,
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    assert got[5] == 0.0 and got[6] == 0.0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+# ---- k-core -----------------------------------------------------------------
+
+def check_kcore(spark, make_edges, edges, n, k):
+    got = {r["id"]: r["deg"] for r in kcore(spark, make_edges(edges), k).collect()}
+    assert got == kcore_ref(n, edges, k)
+
+
+def test_kcore_small(spark, make_edges):
+    # SMALL's underlying undirected graph: min degree 2, so 2-core = all,
+    # 3-core peels to the dense middle
+    check_kcore(spark, make_edges, SMALL, SMALL_N, 2)
+    check_kcore(spark, make_edges, SMALL, SMALL_N, 3)
+
+
+def test_kcore_pathologies(spark, make_edges):
+    # self-loops, duplicate edges, isolated vertex (MULTI fixture)
+    for k in (1, 2, 3):
+        check_kcore(spark, make_edges, MULTI, MULTI_N, k)
+
+
+def test_kcore_random(spark, make_edges):
+    edges = random_graph(n=200, m=1600, seed=13)
+    for k in (4, 8, 12):
+        check_kcore(spark, make_edges, edges, 200, k)
+
+
+def test_kcore_empty_result(spark, make_edges):
+    got = kcore(spark, make_edges(SMALL), 99).collect()
+    assert got == []
