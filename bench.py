@@ -76,6 +76,14 @@ class BenchTimeout(Exception):
 
 
 def _alarm(_sig, _frm):
+    # RE-ARM FIRST: signal.alarm is one-shot, and a BenchTimeout raised
+    # while the main thread sits inside a py4j socket recv gets caught by
+    # py4j's send_command and rethrown as Py4JNetworkError — which the
+    # per-query `except Exception` then absorbs, silently consuming the
+    # only alarm. (This is exactly how BENCH_r02/r03 blew past the driver
+    # budget to rc=124.) Re-arming makes the watchdog fire every 15 s
+    # until one of the raises lands in code that propagates it.
+    signal.alarm(15)
     raise BenchTimeout()
 
 
@@ -319,7 +327,37 @@ def summary_line(out: dict) -> str:
     return json.dumps(compact)
 
 
+def _finalize_and_exit(out: dict, sf_dir: str, cpus: int, code: int = 0):
+    """Idempotent finalizer: persist the record, print the ONE compact
+    summary line as the very last stdout, and _exit immediately. os._exit
+    (not sys.exit) is deliberate — a live local-mode JVM's shutdown hooks
+    and py4j atexit teardown can hang for minutes, and any WARN the JVM
+    prints after our summary would push it out of the driver's tail
+    capture. The record is already on disk; nothing of value runs after
+    this point."""
+    if not _FINALIZED.acquire(blocking=False):
+        return  # someone else (main vs failsafe thread) is finalizing
+    try:
+        out["value"] = round(
+            sum(v for v in out["queries"].values() if v > 0), 3
+        )
+        out["elapsed_sec"] = round(time.monotonic() - _T0, 1)
+        flush(out, sf_dir, cpus)
+        print(summary_line(out), flush=True)
+        sys.stdout.flush()
+        sys.stderr.flush()
+    finally:
+        os._exit(code)
+
+
+_FINALIZED = None  # created in main(); module-level for _finalize_and_exit
+
+
 def main() -> None:
+    global _FINALIZED
+    import threading
+
+    _FINALIZED = threading.Lock()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -334,7 +372,22 @@ def main() -> None:
         "skipped": [],
     }
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(BUDGET_SEC) + 45)  # hard watchdog -> finalize below
+    signal.alarm(int(BUDGET_SEC) + 30)  # watchdog (re-arms itself, see _alarm)
+
+    # ABSOLUTE failsafe, independent of the signal machinery: whatever the
+    # main thread is wedged on (py4j recv, JVM GC pause, subprocess wait),
+    # this daemon thread finalizes the partial record and exits 0 at
+    # budget+40. Belt to the alarm's braces — r02/r03 proved one layer is
+    # not enough against py4j's exception laundering.
+    def _failsafe():
+        time.sleep(max(5.0, BUDGET_SEC + 40 - (time.monotonic() - _T0)))
+        out["timed_out"] = True
+        print("bench: failsafe deadline hit; finalizing from watchdog thread",
+              file=sys.stderr)
+        _finalize_and_exit(out, sf_dir, cpus)
+
+    threading.Thread(target=_failsafe, daemon=True).start()
+
     try:
         _run_sections(out, sf_dir, cpus)
     except BenchTimeout:
@@ -347,11 +400,7 @@ def main() -> None:
               file=sys.stderr)
     finally:
         signal.alarm(0)
-    out["value"] = round(sum(v for v in out["queries"].values() if v > 0), 3)
-    out["elapsed_sec"] = round(time.monotonic() - _T0, 1)
-    flush(out, sf_dir, cpus)
-    sys.stdout.flush()
-    print(summary_line(out), flush=True)
+    _finalize_and_exit(out, sf_dir, cpus)
 
 
 def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
@@ -425,6 +474,13 @@ def _headline_section(out: dict, sf_dir: str, cpus: int) -> None:
     # superstep, so its steady-state stats are burst-filtered within ONE
     # run (min-step) and a second full rep is optional.
     for name in HEADLINE:
+        if remaining() < 20:
+            # over budget: record the skip and fall through fast — do NOT
+            # start another action whose cancel+teardown costs 30 s each
+            # (16 skipped queries x 30 s is how a dead run drifts 8 min
+            # past its budget)
+            out["skipped"].append(name)
+            continue
         fn = qs[name]
         try:
             if name == "graph_pagerank_converged":
