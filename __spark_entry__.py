@@ -315,6 +315,87 @@ def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_UNROLL) -> str:
     return "\n".join(body)
 
 
+# hub pivots above this undirected degree are excluded from common-neighbor
+# enumeration (the documented stop-word trade, operators/linkpred.py); the
+# min_common floor keeps the emitted candidate set compare-sized at sf0.01
+LINKPRED_MAX_PIVOT_DEG = 60
+LINKPRED_MIN_COMMON = 4
+
+
+def q_linkpred(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.linkpred import link_prediction
+
+    lp = link_prediction(
+        _edges(spark, sf_dir),
+        max_pivot_degree=LINKPRED_MAX_PIVOT_DEG,
+        min_common=LINKPRED_MIN_COMMON,
+    )
+    return lp.select(
+        "u", "v", "cn",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+def _linkpred_sql(
+    cap: int = LINKPRED_MAX_PIVOT_DEG, minc: int = LINKPRED_MIN_COMMON
+) -> str:
+    return f"""WITH {EDGES_CTE.strip()},
+{SYM_CTE.strip()},
+und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM sym WHERE src < dst),
+deg AS (SELECT src AS w, COUNT(*) AS deg FROM sym GROUP BY src),
+piv AS (SELECT s.src AS w, s.dst AS n, d.deg AS wdeg
+        FROM sym s JOIN deg d ON d.w = s.src WHERE d.deg <= {cap}),
+sc AS MATERIALIZED (
+  SELECT l.n AS u, r.n AS v, COUNT(*) AS cn,
+         SUM(1.0 / LN(l.wdeg)) AS aa
+  FROM piv l JOIN piv r ON l.w = r.w AND l.n < r.n
+  GROUP BY l.n, r.n HAVING COUNT(*) >= {minc})
+SELECT u, v, cn,
+  ROUND(CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn), 6) AS jaccard,
+  ROUND(aa, 6) AS adamic_adar
+FROM sc
+LEFT JOIN und ON und.a = sc.u AND und.b = sc.v
+JOIN deg du ON du.w = sc.u
+JOIN deg dv ON dv.w = sc.v
+WHERE und.a IS NULL"""
+
+
+# k and unroll chosen so the truss is NON-trivial at sf0.01 (measured
+# after landing; peeling is monotone so extra unrolled rounds are no-ops)
+KTRUSS_K = 4
+KTRUSS_UNROLL = 8
+
+
+def q_ktruss(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.ktruss import ktruss
+
+    return ktruss(spark, _edges(spark, sf_dir), KTRUSS_K)
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_UNROLL) -> str:
+    need = k - 2
+    body = [f"WITH {EDGES_CTE.strip()},", SYM_CTE.strip() + ",",
+            """t0 AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM sym WHERE src < dst)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body.append(f""",tri{r} AS MATERIALIZED (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM t{p} e1 JOIN t{p} e2 ON e2.a = e1.b
+  JOIN t{p} e3 ON e3.a = e1.a AND e3.b = e2.b)""")
+        body.append(f""",t{r} AS MATERIALIZED (
+  SELECT a, b, support FROM (
+    SELECT a, b, COUNT(*) AS support FROM (
+      SELECT a, b FROM tri{r}
+      UNION ALL SELECT a, c AS b FROM tri{r}
+      UNION ALL SELECT b AS a, c AS b FROM tri{r})
+    GROUP BY a, b)
+  WHERE support >= {need})""")
+    body.append(f"SELECT a, b, support FROM t{rounds}")
+    return "\n".join(body)
+
+
 def q_mtx_pagerank3(spark, sf_dir):
     """Reference fixture parity under the VALUE gate: the whole
     mtx -> edges -> GAS path (smallRegressionGraphs/small.mtx mirror,
@@ -1681,6 +1762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr3": q_ppr3,
         "graph_hits2": q_hits2,
         "graph_kcore": q_kcore,
+        "graph_ktruss": q_ktruss,
+        "graph_linkpred": q_linkpred,
         # one-shot graph dataflow
         "graph_triangle_count": q_triangle_count,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
@@ -1743,6 +1826,8 @@ SELECT id, out_deg, rk FROM (
         "graph_ppr3": _ppr3_sql(),
         "graph_hits2": _hits2_sql(),
         "graph_kcore": _kcore_sql(),
+        "graph_ktruss": _ktruss_sql(),
+        "graph_linkpred": _linkpred_sql(),
         "graph_cc3": _cc3_sql(),
         "graph_labelprop2": _labelprop2_sql(),
         "graph_bfs3": _bfs3_sql(),

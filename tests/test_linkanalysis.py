@@ -161,3 +161,121 @@ def test_kcore_random(spark, make_edges):
 def test_kcore_empty_result(spark, make_edges):
     got = kcore(spark, make_edges(SMALL), 99).collect()
     assert got == []
+
+
+# ---- k-truss ----------------------------------------------------------------
+
+def ktruss_ref(edges, k):
+    """Peel edges to fixpoint; returns {(a,b): within-truss support}."""
+    und = {tuple(sorted((s, d))) for s, d, _w in edges if s != d}
+    while True:
+        nbrs = defaultdict(set)
+        for a, b in und:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+        sup = {(a, b): len(nbrs[a] & nbrs[b]) for a, b in und}
+        nxt = {e for e in und if sup[e] >= k - 2}
+        if nxt == und:
+            return sup
+        und = nxt
+        if not und:
+            return {}
+
+
+def check_ktruss(spark, make_edges, edges, k):
+    from mirrorofmapgraph_spark.operators.ktruss import ktruss
+
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in ktruss(spark, make_edges(edges), k).collect()
+    }
+    assert got == ktruss_ref(edges, k)
+
+
+def test_ktruss_small(spark, make_edges):
+    for k in (2, 3, 4):
+        check_ktruss(spark, make_edges, SMALL, k)
+
+
+def test_ktruss_pathologies(spark, make_edges):
+    for k in (3, 4):
+        check_ktruss(spark, make_edges, MULTI, k)
+
+
+def test_ktruss_random(spark, make_edges):
+    edges = random_graph(n=80, m=900, seed=11)
+    for k in (3, 4, 5):
+        check_ktruss(spark, make_edges, edges, k)
+
+
+def test_ktruss_empty_result(spark, make_edges):
+    from mirrorofmapgraph_spark.operators.ktruss import ktruss
+
+    assert ktruss(spark, make_edges(SMALL), 99).collect() == []
+
+
+# ---- link prediction ---------------------------------------------------------
+
+def linkpred_ref(edges, cap=None, minc=1):
+    """Exact common-neighbor / Jaccard / Adamic-Adar for non-adjacent
+    distance-2 pairs, with the hub-pivot cap applied."""
+    nbrs = defaultdict(set)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    out = {}
+    verts = sorted(nbrs)
+    for i, u in enumerate(verts):
+        for v in verts[i + 1:]:
+            if v in nbrs[u]:
+                continue
+            common = [
+                w for w in nbrs[u] & nbrs[v]
+                if cap is None or deg[w] <= cap
+            ]
+            if len(common) < minc:
+                continue
+            cn = len(common)
+            jac = cn / (deg[u] + deg[v] - cn)
+            aa = sum(1.0 / math.log(deg[w]) for w in common)
+            out[(u, v)] = (cn, jac, aa)
+    return out
+
+
+def check_linkpred(spark, make_edges, edges, cap=None, minc=1):
+    from mirrorofmapgraph_spark.operators.linkpred import link_prediction
+
+    got = {
+        (r["u"], r["v"]): (r["cn"], r["jaccard"], r["adamic_adar"])
+        for r in link_prediction(
+            make_edges(edges), max_pivot_degree=cap, min_common=minc
+        ).collect()
+    }
+    exp = linkpred_ref(edges, cap=cap, minc=minc)
+    assert set(got) == set(exp)
+    for pair, (cn, jac, aa) in exp.items():
+        gcn, gjac, gaa = got[pair]
+        assert gcn == cn, (pair, gcn, cn)
+        assert math.isclose(gjac, jac, rel_tol=1e-12), (pair, gjac, jac)
+        assert math.isclose(gaa, aa, rel_tol=1e-9), (pair, gaa, aa)
+
+
+def test_linkpred_small(spark, make_edges):
+    check_linkpred(spark, make_edges, SMALL)
+
+
+def test_linkpred_random_with_cap(spark, make_edges):
+    edges = random_graph(n=100, m=800, seed=3)
+    check_linkpred(spark, make_edges, edges, cap=25, minc=2)
+
+
+def test_linkpred_excludes_existing_edges(spark, make_edges):
+    from mirrorofmapgraph_spark.operators.linkpred import link_prediction
+
+    edges = random_graph(n=60, m=400, seed=9)
+    und = {tuple(sorted((s, d))) for s, d, _w in edges if s != d}
+    got = link_prediction(make_edges(edges)).collect()
+    for r in got:
+        assert (r["u"], r["v"]) not in und
