@@ -17,8 +17,13 @@ generator spec ``rmat:scale=16,ef=16`` / ``random:n=4096,m=65536`` /
 ``grid2d:width=64`` / ``grid3d:width=16`` / ``rr:n=4096,degree=8``
 (b40c/graph/builder/*.cuh parity — see sources/builders.py).
 
+Algorithms: the reference's four kernels (bfs, sssp, pagerank, cc) plus
+labelprop and triangles (north rule) and the extended link-analysis layer
+(ppr, hits, kcore, ktruss, linkpred — ``k=``, ``max_pivot_degree=``,
+``min_common=`` ride in ``-p``).
+
 Parameter mapping (reference name -> here):
-  src           source vertex id(s), comma-separated (bfs/sssp)
+  src           source vertex id(s), comma-separated (bfs/sssp/ppr)
   origin        0 or 1: id base of ``src`` and ``-s`` files (default 0;
                 the reference reads 1-based mtx sources, origin=1)
   iter_num      max supersteps (default: per-algorithm)
@@ -46,7 +51,10 @@ import argparse
 import sys
 from typing import Sequence
 
-ALGOS = ("bfs", "sssp", "pagerank", "cc", "labelprop", "triangles")
+ALGOS = (
+    "bfs", "sssp", "pagerank", "cc", "labelprop", "triangles",
+    "ppr", "hits", "kcore", "ktruss", "linkpred",
+)
 _IGNORED = {"device", "max_queue_sizing", "run_CPU", "with_value", "run_cpu"}
 
 
@@ -216,6 +224,35 @@ def _dispatch(spark, algo, edges, params, eng_kw, resume, iter_num, sources_file
 
     if algo == "triangles":
         return tri_mod.triangle_count_per_vertex(edges), None
+    if algo == "hits":
+        from .operators import hits as hits_mod
+
+        return hits_mod.hits(spark, edges, iters=int(iter_num or 5)), None
+    if algo == "kcore":
+        from .operators import kcore as kcore_mod
+
+        return kcore_mod.kcore(spark, edges, int(params.get("k", "2"))), None
+    if algo == "ktruss":
+        from .operators import ktruss as ktruss_mod
+
+        return ktruss_mod.ktruss(spark, edges, int(params.get("k", "3"))), None
+    if algo == "linkpred":
+        from .operators import linkpred as lp2_mod
+
+        cap = params.get("max_pivot_degree")
+        return lp2_mod.link_prediction(
+            edges,
+            max_pivot_degree=int(cap) if cap is not None else None,
+            min_common=int(params.get("min_common", "1")),
+        ), None
+    if algo == "ppr":
+        res = pr_mod.personalized_pagerank(
+            spark, edges, _sources(params, sources_file),
+            damping=float(params.get("damping", "0.85")),
+            tol=float(params.get("tol", "1e-6")),
+            max_iter=int(iter_num or 100), **eng_kw,
+        )
+        return res.vertices.select("id", "rank"), res.metrics
     if algo == "pagerank":
         res = pr_mod.pagerank(
             spark, edges,
