@@ -361,6 +361,72 @@ JOIN deg dv ON dv.w = sc.v
 WHERE und.a IS NULL"""
 
 
+def q_wpr3(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.pagerank import weighted_pagerank
+
+    res = weighted_pagerank(
+        spark, _edges(spark, sf_dir), tol=0.0, max_iter=3, collect_metrics=False
+    )
+    return res.vertices.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _wpr3_sql() -> str:
+    body = [f"WITH {EDGES_CTE.strip()},",
+            "wdeg AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),",
+            "r0 AS (SELECT id, CAST(0.15 AS DOUBLE) AS pr FROM verts)"]
+    for k in range(1, 4):
+        body.append(f""",r{k} AS (
+  SELECT v.id, 0.15 + 0.85 * COALESCE(s.g, 0) AS pr
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, SUM(r{k-1}.pr * e.w / wdeg.wout) AS g
+    FROM edges e JOIN r{k-1} ON r{k-1}.id = e.src JOIN wdeg ON wdeg.src = e.src
+    GROUP BY e.dst) s USING (id))""")
+    body.append("SELECT id, ROUND(pr, 6) AS pr FROM r3")
+    return "\n".join(body)
+
+
+# deterministic walk starts (same arithmetic style as PPR_SOURCES); the
+# hash-choice constants live in operators/walks.py and are mirrored below
+WALKS_N = 8
+WALKS_LEN = 4
+WALK_P = 2**31 - 1
+
+
+def q_walks(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.walks import random_walks
+
+    starts = spark.createDataFrame(
+        [(i, (i * 769 + 11) % V) for i in range(WALKS_N)],
+        "walk_id long, vertex long",
+    )
+    return random_walks(spark, _edges(spark, sf_dir), starts, WALKS_LEN)
+
+
+def _walks_sql(n: int = WALKS_N, length: int = WALKS_LEN) -> str:
+    starts = ", ".join(f"({i}, {(i * 769 + 11) % V})" for i in range(n))
+    body = [f"WITH {EDGES_CTE.strip()},",
+            """adj AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)),""",
+            # explicit BIGINT casts: bare VALUES literals land as INT32 in
+            # DuckDB and the pick arithmetic overflows 32 bits
+            f"s0 AS (SELECT CAST(w AS BIGINT) AS walk_id, CAST(v AS BIGINT) "
+            f"AS vertex FROM (VALUES {starts}) t(w, v))"]
+    for t in range(1, length + 1):
+        body.append(f""",s{t} AS MATERIALIZED (
+  SELECT s.walk_id, a.dst AS vertex
+  FROM s{t-1} s JOIN adj a ON a.src = s.vertex
+   AND a.rn = ((s.walk_id % {WALK_P}) * 1103515245 + {t * 12345}
+               + (s.vertex % {WALK_P}) * 31) % {WALK_P} % a.deg)""")
+    steps = "\nUNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, vertex FROM s{t}" for t in range(length + 1)
+    )
+    body.append(steps)
+    return "\n".join(body)
+
+
 # k and unroll chosen so the truss is NON-trivial at sf0.01 (measured
 # after landing; peeling is monotone so extra unrolled rounds are no-ops)
 KTRUSS_K = 4
@@ -1764,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_kcore,
         "graph_ktruss": q_ktruss,
         "graph_linkpred": q_linkpred,
+        "graph_wpr3": q_wpr3,
+        "graph_walks": q_walks,
         # one-shot graph dataflow
         "graph_triangle_count": q_triangle_count,
         "graph_triangles_per_vertex": q_triangles_per_vertex,
@@ -1828,6 +1896,8 @@ SELECT id, out_deg, rk FROM (
         "graph_kcore": _kcore_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_linkpred": _linkpred_sql(),
+        "graph_wpr3": _wpr3_sql(),
+        "graph_walks": _walks_sql(),
         "graph_cc3": _cc3_sql(),
         "graph_labelprop2": _labelprop2_sql(),
         "graph_bfs3": _bfs3_sql(),

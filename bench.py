@@ -70,7 +70,12 @@ SCALE_BIG = int(os.environ.get("MOMG_BENCH_SCALE_BIG", 4))
 # big-leg superstep count: cheaper steps -> more min-step samples (see the
 # pair loop comment in _scaling_section)
 SCALE_ITERS_BIG = int(os.environ.get("MOMG_BENCH_SCALE_ITERS_BIG", 2 * SCALE_ITERS))
-BUDGET_SEC = float(os.environ.get("MOMG_BENCH_BUDGET_SEC", 960))
+# Driver-limit evidence: the r02 bench ran ~25 min to rc=0 while r03's
+# projected 30-45 min run died rc=124, so the driver's kill is ~30 min.
+# 1380 + the failsafe's +40 exits by ~23.7 min — inside the limit with
+# margin, and enough room for 2-3 scaling pairs AND 2-rep headline
+# queries (at 960 a contended run fit only 1 pair and 1 PR rep).
+BUDGET_SEC = float(os.environ.get("MOMG_BENCH_BUDGET_SEC", 1380))
 
 _T0 = time.monotonic()
 

@@ -162,3 +162,66 @@ def pagerank(
     frontier0 = vertices.select("id")  # srcVertex() == ALL (PageRank.h:192-195)
     prog = pagerank_program(damping=damping, tol=tol)
     return engine.run(prog, v0, frontier0, max_iter=max_iter, resume=resume)
+
+
+def weighted_pagerank_program(damping: float = 0.85, tol: float = 1e-6) -> GASProgram:
+    """PageRank over edge weights: a vertex distributes its rank to
+    out-neighbors proportionally to edge weight instead of uniformly —
+    ``rank[v] <- base + damping * sum_{u->v} rank[u] * w(u,v) / wout(u)``
+    where ``wout(u) = sum of u's outgoing weights``. Same frontier-exit /
+    dedup semantics as :func:`pagerank_program` (PageRank.h:233-283); the
+    uniform formulation is the special case w ≡ 1."""
+    base = 1.0 - damping
+
+    return GASProgram(
+        name="weighted_pagerank",
+        mode="pull",
+        state_cols=("rank", "wout"),
+        message=lambda df: F.col("rank") * F.col("w") / F.col("wout"),
+        combiner=F.sum,
+        apply=lambda df: {
+            "rank": F.when(
+                F.col("_in_frontier"),
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("_gathered"), F.lit(0.0)),
+            ).otherwise(F.col("rank"))
+        },
+        changed=lambda df: F.col("_in_frontier")
+        & (F.abs(F.col("_new_rank") - F.col("rank")) >= F.lit(tol)),
+        has_out_edges=lambda df: F.col("wout") > 0,
+    )
+
+
+def weighted_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    engine: GASEngine | None = None,
+    resume: bool = False,
+    **engine_kwargs,
+) -> GASResult:
+    """Weight-proportional PageRank; result.vertices = (id, rank, wout).
+
+    ``edges`` must carry a double ``w`` column (the repo link graph's
+    edge multiplicity / affinity). Zero-total-weight vertices behave like
+    dangling vertices (contribute nothing)."""
+    if engine is None:
+        engine = GASEngine(spark, edges, **engine_kwargs)
+    if vertices is None:
+        vertices = vertex_frame(edges)
+    wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
+    v0 = (
+        vertices.join(wdeg, on="id", how="left")
+        .select(
+            "id",
+            F.lit(1.0 - damping).alias("rank"),
+            F.coalesce(F.col("wout"), F.lit(0.0)).cast("double").alias("wout"),
+        )
+    )
+    frontier0 = vertices.select("id")
+    prog = weighted_pagerank_program(damping=damping, tol=tol)
+    return engine.run(prog, v0, frontier0, max_iter=max_iter, resume=resume)

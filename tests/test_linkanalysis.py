@@ -279,3 +279,114 @@ def test_linkpred_excludes_existing_edges(spark, make_edges):
     got = link_prediction(make_edges(edges)).collect()
     for r in got:
         assert (r["u"], r["v"]) not in und
+
+
+# ---- weighted PageRank --------------------------------------------------------
+
+def wpr_ref(n, edges, iters, damping=0.85):
+    """Unrolled synchronous weighted PageRank (full frontier, tol=0)."""
+    in_nbrs = defaultdict(list)
+    wout = defaultdict(float)
+    for s, d, w in edges:
+        in_nbrs[d].append((s, w))
+        wout[s] += w
+    base = 1.0 - damping
+    rank = [base] * n
+    for _ in range(iters):
+        rank = [
+            base + damping * sum(rank[u] * w / wout[u] for u, w in in_nbrs[v])
+            for v in range(n)
+        ]
+    return rank
+
+
+def test_weighted_pagerank_matches_ref(spark, make_edges, make_vertices):
+    from mirrorofmapgraph_spark.operators.pagerank import weighted_pagerank
+
+    edges = random_graph(n=120, m=700, seed=21)
+    res = weighted_pagerank(
+        spark, make_edges(edges), vertices=make_vertices(120),
+        tol=0.0, max_iter=3,
+    )
+    got = {r["id"]: r["rank"] for r in res.vertices.collect()}
+    exp = wpr_ref(120, edges, 3)
+    for v in range(120):
+        assert math.isclose(got[v], exp[v], abs_tol=1e-9), (v, got[v], exp[v])
+
+
+def test_weighted_pagerank_uniform_weights_equal_plain(spark, make_edges, make_vertices):
+    from mirrorofmapgraph_spark.operators.pagerank import pagerank, weighted_pagerank
+
+    edges = [(s, d, 1.0) for s, d, _ in random_graph(n=80, m=400, seed=22)]
+    # dedupe parallel edges: with w==1 duplicates change wout but not
+    # out_deg, so the equivalence only holds on the simple graph
+    edges = list({(s, d): (s, d, 1.0) for s, d, _ in edges}.values())
+    kw = dict(vertices=make_vertices(80), tol=0.0, max_iter=3)
+    wr = weighted_pagerank(spark, make_edges(edges), **kw)
+    pr = pagerank(spark, make_edges(edges), **kw)
+    got_w = {r["id"]: r["rank"] for r in wr.vertices.collect()}
+    got_p = {r["id"]: r["rank"] for r in pr.vertices.collect()}
+    for v in range(80):
+        assert math.isclose(got_w[v], got_p[v], abs_tol=1e-9)
+
+
+# ---- random walks --------------------------------------------------------------
+
+def walks_ref(edges, starts, length, P=2**31 - 1):
+    nbrs = defaultdict(set)
+    for s, d, _w in edges:
+        if s != d:
+            nbrs[s].add(d)
+    rows = set()
+    for wid, v in starts:
+        rows.add((wid, 0, v))
+        cur = v
+        for t in range(1, length + 1):
+            ns = sorted(nbrs.get(cur, ()))
+            if not ns:
+                break
+            pick = ((wid % P) * 1103515245 + t * 12345 + (cur % P) * 31) % P % len(ns)
+            cur = ns[pick]
+            rows.add((wid, t, cur))
+    return rows
+
+
+def test_random_walks_match_ref(spark, make_edges):
+    from mirrorofmapgraph_spark.operators.walks import random_walks
+
+    edges = random_graph(n=100, m=600, seed=31)
+    starts = [(i, (i * 7 + 3) % 100) for i in range(12)]
+    sdf = spark.createDataFrame(starts, "walk_id long, vertex long")
+    got = {
+        (r["walk_id"], r["step"], r["vertex"])
+        for r in random_walks(spark, make_edges(edges), sdf, 5).collect()
+    }
+    assert got == walks_ref(edges, starts, 5)
+
+
+def test_random_walks_stop_at_sinks(spark, make_edges):
+    from mirrorofmapgraph_spark.operators.walks import random_walks
+
+    edges = [(0, 1, 1.0), (1, 2, 1.0)]  # 2 is a sink
+    sdf = spark.createDataFrame([(0, 0)], "walk_id long, vertex long")
+    rows = sorted(
+        (r["step"], r["vertex"])
+        for r in random_walks(spark, make_edges(edges), sdf, 9).collect()
+    )
+    assert rows == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_random_walks_same_start_diverge(spark, make_edges):
+    """Two walks from the same vertex must take different hash paths."""
+    from mirrorofmapgraph_spark.operators.walks import random_walks
+
+    edges = random_graph(n=50, m=500, seed=41)
+    sdf = spark.createDataFrame(
+        [(i, 7) for i in range(6)], "walk_id long, vertex long"
+    )
+    got = random_walks(spark, make_edges(edges), sdf, 4).collect()
+    paths = defaultdict(list)
+    for r in got:
+        paths[r["walk_id"]].append((r["step"], r["vertex"]))
+    distinct = {tuple(sorted(p)) for p in paths.values()}
+    assert len(distinct) > 1
