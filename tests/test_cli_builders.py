@@ -251,3 +251,34 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # symmetric ring: equal ranks at the 0.15/(1-0.85)=1.0 fixed point
     assert max(ranks) - min(ranks) < 1e-9
     assert abs(ranks[0] - 1.0) < 1e-4
+
+
+def test_cli_extended_algos(spark, tmp_path):
+    """The round-4 link-analysis layer through the argv surface: hits on
+    a ring (symmetric scores), kcore/ktruss with -p k=, linkpred caps."""
+    from mirrorofmapgraph_spark.cli import run
+
+    mtx = tmp_path / "g.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate real general\n4 4 4\n"
+        "1 2 1.0\n2 3 1.0\n3 4 1.0\n4 1 1.0\n"
+    )
+    out = tmp_path / "hits.parquet"
+    assert run(["hits", "-g", str(mtx), "-o", str(out), "-p", "iter_num=2"]) == 0
+    rows = {r["id"]: (r["hub"], r["auth"]) for r in spark.read.parquet(str(out)).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(h == pytest.approx(0.25, abs=1e-6) for h, _ in rows.values())
+
+    out2 = tmp_path / "core.parquet"
+    assert run(["kcore", "-g", str(mtx), "-o", str(out2), "-p", "k=2"]) == 0
+    assert spark.read.parquet(str(out2)).count() == 4  # ring = its own 2-core
+
+    out3 = tmp_path / "truss.parquet"
+    assert run(["ktruss", "-g", str(mtx), "-o", str(out3), "-p", "k=3"]) == 0
+    assert spark.read.parquet(str(out3)).count() == 0  # ring has no triangles
+
+    out4 = tmp_path / "lp.parquet"
+    assert run(["linkpred", "-g", str(mtx), "-o", str(out4)]) == 0
+    lp = {(r["u"], r["v"]): r["cn"] for r in spark.read.parquet(str(out4)).collect()}
+    # ring 0-1-2-3: non-adjacent pairs (0,2) and (1,3), 2 common nbrs each
+    assert lp == {(0, 2): 2, (1, 3): 2}
