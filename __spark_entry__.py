@@ -1566,6 +1566,63 @@ FROM verify WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {NJ_THRESHOLD}"""
 NJ_SLICE_MOD = 2
 
 
+def q_docs_dup_clusters(spark, sf_dir):
+    """Cross-layer COMPOSITION: the LLM-pipeline dedup feeding the graph
+    engine. MinHash candidates -> exact-Jaccard verify -> pair edges ->
+    HashMin connected components through the GAS core; output is each
+    near-duplicate doc with its cluster id (min doc_id in the cluster).
+    This is the 100 TB dedup shape end-to-end: candidate generation is
+    bucket-bounded, verification touches candidates only, and clustering
+    is the same engine that runs the link graph."""
+    from mirrorofmapgraph_spark.operators.cc import connected_components
+    from mirrorofmapgraph_spark.operators.dedup import (
+        minhash_candidates,
+        verify_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    cand = minhash_candidates(
+        docs, num_perm=NJ_NPERM, bands=NJ_BANDS, ngram=NJ_NGRAM, seed=1,
+        max_bucket=NJ_MAX_BUCKET,
+    )
+    pairs = verify_pairs(docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+        F.lit(1.0).alias("w"),
+    )
+    res = connected_components(spark, edges, max_iter=30, collect_metrics=False)
+    return res.vertices.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+# HashMin rounds to unroll in the oracle: near-dup clusters at sf0.01 are
+# small/dense (converges in <= 4 rounds measured); overshoot is a no-op
+DUP_CLUSTER_UNROLL = 10
+
+
+def _dup_clusters_sql(K: int = DUP_CLUSTER_UNROLL) -> str:
+    body = [f"""WITH {_minhash_cte(NJ_NPERM, NJ_NGRAM, 1).strip()},
+{_minhash_cand_ctes(NJ_NPERM, NJ_BANDS, NJ_MAX_BUCKET)},
+verify AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(a.shingles, b.shingles)) AS inter,
+    len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM (SELECT DISTINCT id_a, id_b FROM cand) c
+  JOIN shingled a ON a.doc_id = c.id_a JOIN shingled b ON b.doc_id = c.id_b),
+p AS (SELECT id_a, id_b FROM verify
+      WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {NJ_THRESHOLD}),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+m0 AS (SELECT DISTINCT a AS id, a AS label FROM e)"""]
+    for k in range(1, K + 1):
+        body.append(f""",m{k} AS MATERIALIZED (
+  SELECT m.id, LEAST(m.label, MIN(mn.label)) AS label
+  FROM m{k-1} m JOIN e ON e.a = m.id JOIN m{k-1} mn ON mn.id = e.b
+  GROUP BY m.id, m.label)""")
+    body.append(f"SELECT id AS doc_id, label AS cluster FROM m{K}")
+    return "\n".join(body)
+
+
 def q_docs_ngram_jaccard_block(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % NJ_SLICE_MOD == 0)
     return ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_cols=("lang",))
@@ -1868,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_pairs": q_docs_simhash_pairs,
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_ngram_jaccard_block": q_docs_ngram_jaccard_block,
+        "docs_dup_clusters": q_docs_dup_clusters,
         # embeddings: similarity search
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1936,6 +1994,7 @@ SELECT id, out_deg, rk FROM (
         "docs_simhash_pairs": _simhash_pairs_sql(),
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_ngram_jaccard_block": _ngram_jaccard_block_sql(),
+        "docs_dup_clusters": _dup_clusters_sql(),
         "emb_knn_bruteforce": KNN_BF_SQL,
         "emb_knn_lsh": _knn_lsh_sql(),
         "emb_knn_ivf": _knn_ivf_sql(),

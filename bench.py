@@ -590,7 +590,7 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
     # sub-budget so a contention storm can't let it starve the query
     # section that follows (and vice versa — see _run_sections).
     section_budget = float(
-        os.environ.get("MOMG_BENCH_SCALING_BUDGET_SEC", min(500.0, BUDGET_SEC * 0.55))
+        os.environ.get("MOMG_BENCH_SCALING_BUDGET_SEC", min(700.0, BUDGET_SEC * 0.55))
     )
     t_section = time.monotonic()
 
