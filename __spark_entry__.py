@@ -1623,6 +1623,59 @@ m0 AS (SELECT DISTINCT a AS id, a AS label FROM e)"""]
     return "\n".join(body)
 
 
+# per-language keep rates for the deterministic curation sample (corpus
+# quota shape: upsample English, floor everything else)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT = 0.125
+SAMPLE_K = 5
+
+
+def q_docs_sample_stratified(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", SAMPLE_RATES,
+        stratum="lang", default_rate=SAMPLE_DEFAULT, seed=1,
+    ).select("doc_id", "lang")
+
+
+def _sample_stratified_sql() -> str:
+    from mirrorofmapgraph_spark.functions.hashing import MERSENNE31, perm_params
+
+    a, b = perm_params(1, 1)[0]
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r!r}" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ((doc_id % {MERSENNE31}) * {a} + {b}) % {MERSENNE31} <
+  CAST(FLOOR((CASE lang {cases} ELSE {SAMPLE_DEFAULT!r} END)
+             * {MERSENNE31}.0) AS BIGINT)"""
+
+
+def q_docs_sample_per_lang(spark, sf_dir):
+    from mirrorofmapgraph_spark.operators.sampling import reservoir_per_key
+
+    return reservoir_per_key(
+        _docs(spark, sf_dir), "doc_id", SAMPLE_K, stratum="lang", seed=1
+    ).select("doc_id", "lang", "rk")
+
+
+def _sample_per_lang_sql() -> str:
+    from mirrorofmapgraph_spark.functions.hashing import MERSENNE31, perm_params
+
+    a, b = perm_params(1, 1)[0]
+    return f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY ((doc_id % {MERSENNE31}) * {a} + {b}) % {MERSENNE31}, doc_id
+    ) AS rk
+  FROM documents)
+WHERE rk <= {SAMPLE_K}"""
+
+
 def q_docs_ngram_jaccard_block(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % NJ_SLICE_MOD == 0)
     return ngram_jaccard_pairs(docs, ngram=3, threshold=0.2, block_cols=("lang",))
@@ -1926,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_jaccard": q_docs_ngram_jaccard,
         "docs_ngram_jaccard_block": q_docs_ngram_jaccard_block,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_sample_stratified": q_docs_sample_stratified,
+        "docs_sample_per_lang": q_docs_sample_per_lang,
         # embeddings: similarity search
         "emb_knn_bruteforce": q_emb_knn_bruteforce,
         "emb_knn_lsh": q_emb_knn_lsh,
@@ -1995,6 +2050,8 @@ SELECT id, out_deg, rk FROM (
         "docs_ngram_jaccard": _ngram_jaccard_sql(),
         "docs_ngram_jaccard_block": _ngram_jaccard_block_sql(),
         "docs_dup_clusters": _dup_clusters_sql(),
+        "docs_sample_stratified": _sample_stratified_sql(),
+        "docs_sample_per_lang": _sample_per_lang_sql(),
         "emb_knn_bruteforce": KNN_BF_SQL,
         "emb_knn_lsh": _knn_lsh_sql(),
         "emb_knn_ivf": _knn_ivf_sql(),

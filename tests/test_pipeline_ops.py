@@ -684,3 +684,81 @@ def test_ivf_lloyd_keeps_empty_cells(spark):
     assert len(rows) == 48
     assert sorted(r["cent_id"] for r in rows) == list(range(1, 49))
     assert all(r["cvec"] is not None and len(r["cvec"]) > 0 for r in rows)
+
+
+# ---- deterministic sampling ---------------------------------------------------
+
+def _affine_ref(key, seed=1):
+    from mirrorofmapgraph_spark.functions.hashing import MERSENNE31, perm_params
+
+    a, b = perm_params(1, seed)[0]
+    return ((key % MERSENNE31) * a + b) % MERSENNE31
+
+
+def test_stratified_sample_matches_ref_and_nests(spark):
+    import math
+
+    from mirrorofmapgraph_spark.functions.hashing import MERSENNE31
+    from mirrorofmapgraph_spark.operators.sampling import stratified_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.25}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", rates, stratum="lang", default_rate=0.1, seed=1
+        ).collect()
+    }
+    exp = {
+        i for i, lang in rows
+        if _affine_ref(i) < math.floor(rates.get(lang, 0.1) * float(MERSENNE31))
+    }
+    assert got == exp
+    # nesting: halving every rate yields a subset (same hash, lower cut)
+    half = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df, "doc_id", {k: v / 2 for k, v in rates.items()},
+            stratum="lang", default_rate=0.05, seed=1,
+        ).collect()
+    }
+    assert half <= got
+
+
+def test_stratified_sample_rate_bounds(spark):
+    import pytest as _pytest
+
+    from mirrorofmapgraph_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "doc_id", {"en": 1.5}, stratum="lang")
+
+
+def test_reservoir_per_key_exact_quota_and_deterministic(spark):
+    from mirrorofmapgraph_spark.operators.sampling import reservoir_per_key
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)] + [(1000, "zz")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = reservoir_per_key(df, "doc_id", 4, stratum="lang", seed=1).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append((r["rk"], r["doc_id"]))
+    assert {k: len(v) for k, v in by_lang.items()} == {
+        "en": 4, "de": 4, "fr": 4, "zz": 1,  # min(k, stratum size)
+    }
+    # mirror: rank by (hash, id) within each stratum
+    for lang, members in by_lang.items():
+        pool = sorted(
+            (i for i, lg in rows if lg == lang),
+            key=lambda i: (_affine_ref(i), i),
+        )
+        assert sorted(members) == [(j + 1, pool[j]) for j in range(len(members))]
+    # repartition the input differently -> identical result
+    again = reservoir_per_key(
+        df.repartition(7), "doc_id", 4, stratum="lang", seed=1
+    ).collect()
+    assert sorted((r["lang"], r["rk"], r["doc_id"]) for r in again) == sorted(
+        (r["lang"], r["rk"], r["doc_id"]) for r in got
+    )
