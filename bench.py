@@ -60,7 +60,7 @@ HEADLINE = [
 # is actually about, while a 1-core leg stays ~1 min clean (the 420 s
 # per-leg cap + shrink-and-retry below absorb VM contention bursts — the
 # round-4 dress rehearsal at 16M once saw ~480 s under a burst).
-SCALE_EDGES = int(os.environ.get("MOMG_BENCH_SCALE_EDGES", 12_000_000))
+SCALE_EDGES = int(os.environ.get("MOMG_BENCH_SCALE_EDGES", 16_000_000))
 SCALE_ITERS = int(os.environ.get("MOMG_BENCH_SCALE_ITERS", 3))
 # the N -> 4N pair (north rule asks two cluster sizes with a 4x ratio;
 # N itself is free). See BENCH/BASELINE.md for why the chosen pair sits
@@ -171,7 +171,16 @@ def scaling_run(cores: int, partitions: int) -> dict:
         from mirrorofmapgraph_spark.plans.gas import GASEngine
         from mirrorofmapgraph_spark.sources.edges import out_degrees, vertex_frame
 
-        edges = synth_edges(spark, SCALE_EDGES, SCALE_EDGES // 15)
+        # the parent pre-materializes the synthetic graph to tmpfs parquet
+        # on all cores (see _scaling_section): a 1-core leg re-deriving 12M
+        # hash edges burned ~150 s of untimed setup per leg — the hidden
+        # cost that kept the section to one pair. Reading the same files
+        # also makes the two legs' inputs bit-identical by construction.
+        pq = os.environ.get("MOMG_BENCH_SCALE_PARQUET")
+        if pq and os.path.isdir(pq):
+            edges = spark.read.parquet(pq)
+        else:
+            edges = synth_edges(spark, SCALE_EDGES, SCALE_EDGES // 15)
         m = edges.count()
         eng = GASEngine(spark, edges, collect_metrics=False)
         # one-time graph build OUTSIDE the timed region (the analogue of
@@ -570,6 +579,41 @@ def _headline_section(out: dict, sf_dir: str, cpus: int) -> None:
     SparkSession.builder._options = {}  # noqa: SLF001
 
 
+def _materialize_scale_graph(scale_edges: int, cpus: int) -> str:
+    """Generate the synthetic scaling graph ONCE on all cores and park it
+    as tmpfs parquet for every leg subprocess (MOMG_BENCH_SCALE_PARQUET).
+    16 files = the legs' shuffle-partition count, so both legs see the
+    same scan task layout. Left in /dev/shm for the extras section's
+    mid/full legs; the VM reclaims it at round end."""
+    import shutil
+
+    from pyspark.sql import SparkSession
+
+    from mirrorofmapgraph_spark.session import get_spark
+
+    pq_dir = f"/dev/shm/momg-scale-edges-{scale_edges}"
+    if not os.path.isdir(pq_dir):
+        tmp = pq_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark = get_spark(
+            app_name="momg-bench-scale-gen",
+            master=f"local[{cpus}]",
+            shuffle_partitions=16,
+            extra_confs={"spark.driver.memory": "16g",
+                         "spark.local.dir": "/dev/shm/momg-spark-local"},
+        )
+        try:
+            synth_edges(spark, scale_edges, scale_edges // 15).repartition(
+                16
+            ).write.mode("overwrite").parquet(tmp)
+            os.replace(tmp, pq_dir)
+        finally:
+            spark.stop()
+            SparkSession.builder._options = {}  # noqa: SLF001
+    os.environ["MOMG_BENCH_SCALE_PARQUET"] = pq_dir
+    return pq_dir
+
+
 def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
     # ---- scaling: same job, N vs 4N cores (north-rule evidence) ----------
     # Primary N -> 4N pair: 1 -> 4 cores. At these levels the single VM's
@@ -597,11 +641,13 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
     def section_left() -> float:
         return min(section_budget - (time.monotonic() - t_section), remaining())
 
+    pq_dir = None
     try:
         pairs = []
         max_pairs = int(os.environ.get("MOMG_BENCH_SCALE_REPS", "4"))
-        pair_cost = 240.0  # prior estimate; replaced by measured after pair 1
+        pair_cost = 170.0  # prior estimate; replaced by measured after pair 1
         scale_edges = SCALE_EDGES
+        pq_dir = _materialize_scale_graph(scale_edges, cpus)
         while len(pairs) < max_pairs:
             if section_left() < 90:  # no time for even a shrunken pair
                 out["skipped"].append(f"scaling_pair_{len(pairs) + 1}")
@@ -649,6 +695,7 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
                     # no evidence yet: shrink the job once and retry —
                     # a half-size pair beats an empty scaling record
                     scale_edges //= 2
+                    pq_dir = _materialize_scale_graph(scale_edges, cpus)
                     print(
                         f"scaling pair failed ({ex}); retrying with "
                         f"{scale_edges} edges", file=sys.stderr,
