@@ -443,6 +443,34 @@ def _run_sections(out: dict, sf_dir: str, cpus: int) -> None:
     _headline_section(out, sf_dir, cpus)
     _skew_section(out, sf_dir, cpus)
     _extras_section(out, sf_dir, cpus)
+    _scaling_fallback(out, sf_dir, cpus)
+
+
+def _scaling_fallback(out: dict, sf_dir: str, cpus: int) -> None:
+    """Last resort: if the scaling section recorded NOTHING (run 5 lost
+    its whole section to a burst-dead big leg), spend leftover budget on
+    one quarter-size pair. A small pair with a 'reduced' flag beats a
+    record with zero north-rule evidence."""
+    if "scaling" in out or remaining() < 150:
+        return
+    try:
+        edges = max(1_000_000, SCALE_EDGES // 4)
+        _materialize_scale_graph(edges, cpus)
+        cap = max(60.0, (remaining() - 30) / 2)
+        a = scaling_run_subprocess(
+            SCALE_SMALL, 16, min(cap, remaining()), edges=edges, iters=SCALE_ITERS
+        )
+        b = scaling_run_subprocess(
+            SCALE_BIG, 16, min(cap, remaining()), edges=edges,
+            iters=SCALE_ITERS_BIG,
+        )
+        _flush_scaling(out, [(a, b)], edges)
+        out["scaling"]["reduced_fallback"] = True
+        flush(out, sf_dir, cpus)
+    except BenchTimeout:
+        raise
+    except Exception as ex:
+        print(f"scaling fallback failed: {ex}", file=sys.stderr)
 
 
 def _headline_section(out: dict, sf_dir: str, cpus: int) -> None:
@@ -667,12 +695,20 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
                 # bursts. The big leg's steps are ~4x cheaper, so it can
                 # afford 2x the samples (a burst-straddling big leg was
                 # how the r04 rehearsal recorded a 0.68 pair).
+                t_small = time.monotonic()
                 a = _leg_with_burst_retry(SCALE_SMALL, scale_edges, out,
                                           section_left=section_left,
                                           iters=SCALE_ITERS)
+                small_wall = time.monotonic() - t_small
+                # a clean big leg finishes well under the small leg's wall
+                # (4x cores, 2x steps => ~0.6x); one that runs past 1.5x is
+                # burst-dead — fail it FAST so the shrink-retry still has
+                # section time (run 5 lost its whole section to a big leg
+                # grinding into the 420 s cap)
                 b = _leg_with_burst_retry(SCALE_BIG, scale_edges, out,
                                           section_left=section_left,
-                                          iters=SCALE_ITERS_BIG)
+                                          iters=SCALE_ITERS_BIG,
+                                          hard_cap=max(150.0, 1.5 * small_wall))
                 ratio = SCALE_BIG / SCALE_SMALL
                 eff = a["min_step_sec"] / b["min_step_sec"] / ratio
                 if eff < 0.5 and section_left() > 100:
@@ -795,7 +831,7 @@ def _skew_section(out: dict, sf_dir: str, cpus: int) -> None:
 
 def _leg_with_burst_retry(
     cores: int, scale_edges: int, out: dict, section_left=None,
-    iters: int | None = None,
+    iters: int | None = None, hard_cap: float | None = None,
 ) -> dict:
     """One scaling leg with evidence-based burst rejection: this VM shows
     external 2-7x contention bursts lasting tens of seconds, long enough
@@ -813,6 +849,8 @@ def _leg_with_burst_retry(
         cap = min(remaining(), 420.0)
         if section_left is not None:
             cap = min(cap, section_left() + 60.0)
+        if hard_cap is not None:
+            cap = min(cap, hard_cap)
         return cap
 
     leg = scaling_run_subprocess(cores, 16, _cap(), edges=scale_edges, iters=iters)
