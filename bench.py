@@ -685,9 +685,12 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
             if section_left() < 90:  # no time for even a shrunken pair
                 out["skipped"].append(f"scaling_pair_{len(pairs) + 1}")
                 break
-            if pairs and section_left() < pair_cost * 1.1:
-                # full measured pair cost plus margin must fit — starting a
-                # pair on a 0.9x guess is how the section overran by 160 s
+            if pairs and section_left() < min(pair_cost, 240.0):
+                # gate on the measured cost OR the clean-pair floor (240 s),
+                # whichever is smaller: a burst-inflated pair 1 must not
+                # veto a calm pair 2 (runs 5-7 each lost pair 2 this way),
+                # and overrun is already bounded — every leg is capped at
+                # section_left()+60 inside _leg_with_burst_retry
                 out["skipped"].append(f"scaling_pair_{len(pairs) + 1}")
                 break
             t_pair = time.monotonic()
