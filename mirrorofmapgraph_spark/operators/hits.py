@@ -55,25 +55,28 @@ def hits(
 
     try:
         for _ in range(iters):
-            # authority half-step: gather hub scores along in-edges
+            # authority half-step: gather hub scores along in-edges.
+            # Join key is src, so probe the src-partitioned copy — the
+            # dst-partitioned copy would re-shuffle the big side per step.
             a_raw = (
-                e_by_dst.join(state.select(F.col("id").alias("src"), "hub"), "src")
+                e_by_src.join(state.select(F.col("id").alias("src"), "hub"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("hub").alias("_raw"))
             )
-            auth = _l1_normalized(vertices, a_raw, "auth")
+            auth = _l1_normalized(a_raw, "auth")
             state = (
                 state.select("id", "hub")
                 .join(auth, "id", "left")
                 .select("id", "hub", F.coalesce("auth", F.lit(0.0)).alias("auth"))
             )
-            # hub half-step: gather the fresh authority scores along out-edges
+            # hub half-step: gather the fresh authority scores along
+            # out-edges — join key dst, so probe the dst-partitioned copy
             h_raw = (
-                e_by_src.join(state.select(F.col("id").alias("dst"), "auth"), "dst")
+                e_by_dst.join(state.select(F.col("id").alias("dst"), "auth"), "dst")
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.sum("auth").alias("_raw"))
             )
-            hub = _l1_normalized(vertices, h_raw, "hub")
+            hub = _l1_normalized(h_raw, "hub")
             state = (
                 state.select("id", "auth")
                 .join(hub, "id", "left")
@@ -88,7 +91,7 @@ def hits(
         e_by_dst.unpersist()
 
 
-def _l1_normalized(vertices: DataFrame, raw: DataFrame, out_col: str) -> DataFrame:
+def _l1_normalized(raw: DataFrame, out_col: str) -> DataFrame:
     """raw(id, _raw) -> (id, out_col = _raw / sum(_raw)).
 
     The total is a 1-row frame broadcast into the division — the scalar

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.gas import release_local_checkpoint
 from ..sources.edges import vertex_frame
 
 
@@ -66,13 +67,20 @@ def kcore(
             )
             survivors = deg.filter(F.col("deg") >= k).localCheckpoint(eager=True)
             m = survivors.count()
-            alive.unpersist()
+            # the superseded generation's checkpoint blocks are never read
+            # again — free them (DataFrame.unpersist is a no-op here)
+            release_local_checkpoint(spark, alive)
             alive = survivors.select("id")
             if m == n:  # fixpoint: no vertex fell below k this round
                 return survivors
             n = m
             if m == 0:
                 return survivors
-        return survivors
+        # A truncated peel is NOT the k-core (its `deg` values were counted
+        # against the pre-peel alive set) — refuse to return it silently.
+        raise RuntimeError(
+            f"kcore(k={k}) did not converge in {max_rounds} rounds "
+            f"({n} survivors still changing); raise max_rounds"
+        )
     finally:
         sym.unpersist()

@@ -22,10 +22,17 @@ Scale notes (100 TB): the adjacency is indexed ONCE (row_number + count
 windows partitioned by src — no global window; a super-hub's neighbor
 list sorts within one partition, acceptable to the same degree-skew
 budget as the gather salt) and persisted; each hop is then a single
-equi-join of the walk frontier (tiny, walk-count-sized) against the
-indexed adjacency on (src, rn) — broadcast-eligible frontier, no
-shuffle of the big side beyond the initial index build. State per walk
-is one row; lineage is cut every few hops via localCheckpoint.
+equi-join of the walk frontier against the indexed adjacency on BOTH
+keys ``(src, rn)`` — an O(1) hash probe per walk, the Spark analogue of
+the reference's CSR ``row_offsets[v] + pick`` lookup
+(b40c/graph/csr_graph.cuh:28-29). The frontier carries its current
+vertex's out-degree forward from the previous hop (the indexed
+adjacency stores ``next_deg`` = deg(dst)), so ``rn = pick % deg`` is
+computed frontier-side and participates in the join hash key; the
+alternative — joining on src alone with ``rn == pick % deg`` as a
+post-join residual — scans the full Σ deg(frontier) adjacency per hop
+(a 4M-degree hub costs 4M rows per walk standing on it). State per
+walk is one row; lineage is cut every few hops via localCheckpoint.
 """
 
 from __future__ import annotations
@@ -62,6 +69,23 @@ def _pick(walk_id, step: int, cur):
     )
 
 
+def _hop(cur: DataFrame, adj: DataFrame, t: int) -> DataFrame:
+    """One walk hop: compute ``rn = pick % deg`` on the frontier (which
+    carries ``deg`` of its current vertex), then equi-join the indexed
+    adjacency on BOTH keys (src, rn) — an O(1) hash probe per walk. The
+    matched row's ``next_deg`` becomes the new frontier's ``deg``."""
+    frontier = cur.select(
+        "walk_id",
+        F.col("vertex").alias("src"),
+        F.pmod(_pick(F.col("walk_id"), t, F.col("vertex")), F.col("deg")).alias("rn"),
+    )
+    return frontier.join(adj, ["src", "rn"]).select(
+        "walk_id",
+        F.col("dst").alias("vertex"),
+        F.col("next_deg").alias("deg"),
+    )
+
+
 def random_walks(
     spark: SparkSession,
     edges: DataFrame,
@@ -77,27 +101,33 @@ def random_walks(
     simply end (no rows for later steps)."""
     if length < 0:
         raise ValueError("length must be >= 0")
-    adj = indexed_adjacency(edges).persist()
-    cur = starts.select(
-        F.col("walk_id").cast("long").alias("walk_id"),
-        F.col("vertex").cast("long").alias("vertex"),
-    )
-    out = cur.withColumn("step", F.lit(0))
-    stale: list[DataFrame] = []
-    for t in range(1, length + 1):
-        hop = (
-            cur.join(adj, cur.vertex == adj.src)
-            .filter(
-                F.col("rn")
-                == F.pmod(_pick(F.col("walk_id"), t, F.col("vertex")), F.col("deg"))
-            )
-            .select("walk_id", F.col("dst").alias("vertex"))
+    base = indexed_adjacency(edges)
+    degs = base.select("src", "deg").distinct()
+    # next_deg = out-degree of dst (null at sinks) so each hop's result
+    # already carries the degree the NEXT hop's pick needs — no per-hop
+    # degree join, and rn joins as a key instead of a residual filter.
+    adj = base.join(
+        degs.select(F.col("src").alias("dst"), F.col("deg").alias("next_deg")),
+        "dst",
+        "left",
+    ).persist()
+    try:
+        start0 = starts.select(
+            F.col("walk_id").cast("long").alias("walk_id"),
+            F.col("vertex").cast("long").alias("vertex"),
         )
-        if t % checkpoint_every == 0 and t < length:
-            hop = hop.localCheckpoint(eager=True)
-            for s in stale:
-                s.unpersist()
-            stale = [hop]
-        cur = hop
-        out = out.unionByName(cur.withColumn("step", F.lit(t)))
-    return out.select("walk_id", "step", "vertex")
+        # step 0 emits every start (even sinks); only non-sinks keep walking
+        outs = [start0.select("walk_id", F.lit(0).alias("step"), "vertex")]
+        cur = start0.join(degs.withColumnRenamed("src", "vertex"), "vertex", "inner")
+        for t in range(1, length + 1):
+            hop = _hop(cur, adj, t)
+            if t % checkpoint_every == 0 and t < length:
+                hop = hop.localCheckpoint(eager=True)
+            cur = hop.filter(F.col("deg").isNotNull())
+            outs.append(hop.select("walk_id", F.lit(t).alias("step"), "vertex"))
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res.select("walk_id", "step", "vertex").localCheckpoint(eager=True)
+    finally:
+        adj.unpersist()

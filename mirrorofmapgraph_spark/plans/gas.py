@@ -54,6 +54,49 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+_RDD_WARN_QUIETED = False
+
+
+def release_local_checkpoint(spark: SparkSession, df: DataFrame) -> None:
+    """Free the executor storage behind a ``localCheckpoint``/``_cut`` frame
+    that will never be read again (a superseded loop generation): unpersist
+    the underlying checkpointed RDD's blocks. ``DataFrame.unpersist()`` is a
+    no-op here — localCheckpoint is not registered with the cache manager —
+    so without this, every generation of a long fixpoint loop (GAS
+    supersteps, k-core/k-truss peels) accumulates in the block manager.
+    Best-effort: a plan-shape change just leaves the blocks to LRU eviction.
+
+    Releasing a locally-checkpointed RDD makes Spark log a WARN that its
+    truncated lineage "cannot be recomputed" — intentional here (the state
+    is superseded and never read again), so that one logger is quieted to
+    ERROR once to keep a 76-superstep run from emitting 76
+    scary-but-expected warnings."""
+    global _RDD_WARN_QUIETED
+    if not _RDD_WARN_QUIETED:
+        _RDD_WARN_QUIETED = True
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.rdd.MapPartitionsRDD",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+        except Exception:
+            pass
+    try:
+        jplan = df._jdf.queryExecution().analyzed()
+        # walk through unary nodes (e.g. the Project from .drop()) to the
+        # checkpointed LogicalRDD
+        for _ in range(4):
+            if jplan.getClass().getName().endswith(".LogicalRDD"):
+                jplan.rdd().unpersist(False)
+                return
+            ch = jplan.children()
+            if ch.size() != 1:
+                return
+            jplan = ch.apply(0)
+    except Exception:
+        pass
+
 
 @dataclass
 class GASProgram:
@@ -265,41 +308,7 @@ class GASEngine:
             return ck
 
     def _release_cut(self, df: DataFrame) -> None:
-        """Free the executor storage behind a ``_cut``/localCheckpoint frame
-        that will never be read (a discarded fused block): unpersist the
-        underlying checkpointed RDD's blocks. Best-effort — the internal
-        LogicalRDD handle mirrors the one ``_cut`` already relies on, and a
-        shape change just leaves the blocks to LRU eviction.
-
-        Releasing a locally-checkpointed RDD makes Spark log a WARN that its
-        truncated lineage "cannot be recomputed" — intentional here (the
-        state is superseded and never read again), so that one logger is
-        quieted to ERROR once to keep a 76-superstep run from emitting 76
-        scary-but-expected warnings."""
-        if not getattr(self, "_rdd_warn_quieted", False):
-            self._rdd_warn_quieted = True
-            try:
-                jvm = self.spark._jvm
-                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                    "org.apache.spark.rdd.MapPartitionsRDD",
-                    jvm.org.apache.logging.log4j.Level.ERROR,
-                )
-            except Exception:
-                pass
-        try:
-            jplan = df._jdf.queryExecution().analyzed()
-            # walk through unary nodes (e.g. the Project from .drop()) to
-            # the checkpointed LogicalRDD
-            for _ in range(4):
-                if jplan.getClass().getName().endswith(".LogicalRDD"):
-                    jplan.rdd().unpersist(False)
-                    return
-                ch = jplan.children()
-                if ch.size() != 1:
-                    return
-                jplan = ch.apply(0)
-        except Exception:
-            pass
+        release_local_checkpoint(self.spark, df)
 
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
 

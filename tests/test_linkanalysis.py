@@ -390,3 +390,49 @@ def test_random_walks_same_start_diverge(spark, make_edges):
         paths[r["walk_id"]].append((r["step"], r["vertex"]))
     distinct = {tuple(sorted(p)) for p in paths.values()}
     assert len(distinct) > 1
+
+
+def test_deep_peel_releases_superseded_checkpoints(spark, make_edges):
+    """A >=20-round k-core peel must not accumulate one checkpointed
+    generation per round in the block manager (DataFrame.unpersist is a
+    no-op on localCheckpoint frames — the loops must release the
+    superseded RDD blocks explicitly, plans/gas.release_local_checkpoint).
+    Only O(1) generations may remain stored after the peel returns."""
+    from mirrorofmapgraph_spark.operators.kcore import kcore
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # k=2 on a 52-vertex path peels two endpoints per round -> ~26 rounds
+    edges = [(i, i + 1, 1.0) for i in range(51)]
+    res = kcore(spark, make_edges(edges), 2, max_rounds=60)
+    assert res.count() == 0  # a path has no 2-core
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 2, f"peel leaked {after - before} stored RDDs"
+
+
+def test_kcore_raises_when_rounds_exhausted(spark, make_edges):
+    """A truncated peel is NOT the k-core: its deg values were counted
+    against the pre-peel alive set. Refuse to return it silently."""
+    import pytest as _pytest
+
+    from mirrorofmapgraph_spark.operators.kcore import kcore
+
+    edges = [(i, i + 1, 1.0) for i in range(51)]
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        kcore(spark, make_edges(edges), 2, max_rounds=3)
+
+
+def test_ktruss_incremental_matches_recompute(spark, make_edges):
+    """The incrementally-maintained support at the fixpoint must equal a
+    from-scratch support count over the surviving subgraph."""
+    from mirrorofmapgraph_spark.operators.ktruss import _edge_support, ktruss
+
+    edges = random_graph(n=40, m=420, seed=43)
+    res = ktruss(spark, make_edges(edges), 4)
+    got = {(r["a"], r["b"]): r["support"] for r in res.collect()}
+    assert got, "fixture should have a non-empty 4-truss"
+    und = res.select("a", "b")
+    fresh = {
+        (r["a"], r["b"]): r["support"]
+        for r in _edge_support(und).collect()
+    }
+    assert got == {k: fresh.get(k, 0) for k in got}

@@ -110,3 +110,31 @@ def test_ivf_assignment_has_no_window_over_corpus(spark):
     before_exchange = p.split("Exchange")[0]
     assert agg in before_exchange  # final agg above, partial below
     assert "BroadcastExchange" in p  # centroid side broadcast
+
+
+def test_random_walk_hop_joins_on_both_keys(spark, make_edges):
+    """The hop must equi-join on (src, rn) — rn in the hash key, NOT a
+    post-join residual that scans the full adjacency of each frontier
+    vertex (a 4M-degree hub would cost 4M rows per walk standing on it)."""
+    from mirrorofmapgraph_spark.operators.walks import _hop, indexed_adjacency
+
+    edges = make_edges([(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+    base = indexed_adjacency(edges)
+    degs = base.select("src", "deg").distinct()
+    adj = base.join(
+        degs.select(F.col("src").alias("dst"), F.col("deg").alias("next_deg")),
+        "dst",
+        "left",
+    )
+    cur = spark.createDataFrame([(7, 0, 2)], "walk_id long, vertex long, deg long")
+    p = plan(_hop(cur, adj, 1))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # every hash-join key list that contains src must also contain rn
+    key_lines = [
+        ln for ln in p.splitlines()
+        if ("keys [" in ln.lower()) and "src#" in ln
+    ]
+    # the hop join itself: src AND rn both in the hash key...
+    assert any("rn#" in ln for ln in key_lines), p
+    # ...and no single-key src-only join anywhere (the residual shape)
+    assert not any("[1]:" in ln for ln in key_lines), "\n".join(key_lines)
