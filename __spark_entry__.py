@@ -1602,18 +1602,21 @@ DUP_CLUSTER_UNROLL = 10
 
 
 def _dup_clusters_sql(K: int = DUP_CLUSTER_UNROLL) -> str:
+    # `e`/`m0` MUST be MATERIALIZED: DuckDB inlines plain CTEs, so a
+    # 10-round HashMin referencing a lazy `e` re-evaluates the whole
+    # minhash->verify chain each round (measured 45 s -> ~5 s pinned)
     body = [f"""WITH {_minhash_cte(NJ_NPERM, NJ_NGRAM, 1).strip()},
 {_minhash_cand_ctes(NJ_NPERM, NJ_BANDS, NJ_MAX_BUCKET)},
-verify AS (
+verify AS MATERIALIZED (
   SELECT c.id_a, c.id_b,
     len(list_intersect(a.shingles, b.shingles)) AS inter,
     len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS un
   FROM (SELECT DISTINCT id_a, id_b FROM cand) c
   JOIN shingled a ON a.doc_id = c.id_a JOIN shingled b ON b.doc_id = c.id_b),
-p AS (SELECT id_a, id_b FROM verify
+p AS MATERIALIZED (SELECT id_a, id_b FROM verify
       WHERE un > 0 AND CAST(inter AS DOUBLE) / un >= {NJ_THRESHOLD}),
-e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-m0 AS (SELECT DISTINCT a AS id, a AS label FROM e)"""]
+e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+m0 AS MATERIALIZED (SELECT DISTINCT a AS id, a AS label FROM e)"""]
     for k in range(1, K + 1):
         body.append(f""",m{k} AS MATERIALIZED (
   SELECT m.id, LEAST(m.label, MIN(mn.label)) AS label

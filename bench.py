@@ -734,6 +734,12 @@ def _scaling_section(out: dict, sf_dir: str, cpus: int) -> None:
                     )
                     if b2["min_step_sec"] < b["min_step_sec"]:
                         b = b2
+            except BenchTimeout:
+                # the budget watchdog fired mid-pair: propagate so main()
+                # finalizes — the generic shrink-and-retry below must never
+                # launch a fresh 32-core materialization after the budget
+                # expired (it subclasses Exception, so order matters)
+                raise
             except Exception as ex:
                 if not pairs and scale_edges > SCALE_EDGES // 4:
                     # no evidence yet: shrink the job once and retry —
@@ -761,22 +767,52 @@ def _extras_section(out: dict, sf_dir: str, cpus: int) -> None:
     if "scaling" not in out:
         return
     try:
+        # size the mid (2 -> 8) pair to the budget that's actually left:
+        # full-size legs need ~150 s clean, so under ~320 s remaining run
+        # the quarter-size graph instead (re-materialized so the worker's
+        # MOMG_BENCH_SCALE_PARQUET matches), and under 150 s declare the
+        # skip — r04's full-size attempt here timed out at its cap and
+        # stack-traced into the record tail instead of recording either.
         if remaining() > 150:
-            mid_small = scaling_run_subprocess(2, 16, remaining())
-            mid_big = scaling_run_subprocess(8, 16, remaining())
-            out["scaling"]["mid_small"] = mid_small
-            out["scaling"]["mid_big"] = mid_big
-            out["scaling"]["secondary_2_to_8_efficiency"] = round(
-                mid_small["min_step_sec"] / mid_big["min_step_sec"] / 4.0, 3
-            )
-            flush(out, sf_dir, cpus)
+            try:
+                mid_edges = SCALE_EDGES if remaining() > 320 else SCALE_EDGES // 4
+                _materialize_scale_graph(mid_edges, cpus)
+                per_leg = max(60.0, (remaining() - 40) / 2)
+                mid_small = scaling_run_subprocess(
+                    2, 16, per_leg, edges=mid_edges, iters=SCALE_ITERS
+                )
+                mid_big = scaling_run_subprocess(
+                    8, 16, per_leg, edges=mid_edges, iters=SCALE_ITERS_BIG
+                )
+                out["scaling"]["mid_small"] = mid_small
+                out["scaling"]["mid_big"] = mid_big
+                out["scaling"]["mid_pair_edges"] = mid_edges
+                out["scaling"]["secondary_2_to_8_efficiency"] = round(
+                    mid_small["min_step_sec"] / mid_big["min_step_sec"] / 4.0, 3
+                )
+                flush(out, sf_dir, cpus)
+            except BenchTimeout:
+                raise
+            except Exception as ex:
+                out["skipped"].append("scaling_mid_pair")
+                print(f"mid scaling pair skipped: {ex}", file=sys.stderr)
         else:
             out["skipped"].append("scaling_mid_pair")
         if remaining() > 90:
-            out["scaling"]["full_machine"] = scaling_run_subprocess(
-                cpus, max(16, min(24, cpus)), remaining()
-            )
-            flush(out, sf_dir, cpus)
+            try:
+                fm = scaling_run_subprocess(
+                    cpus, max(16, min(24, cpus)), max(60.0, remaining() - 30)
+                )
+                pq = os.environ.get("MOMG_BENCH_SCALE_PARQUET", "")
+                if pq.rsplit("-", 1)[-1].isdigit():
+                    fm["edges"] = int(pq.rsplit("-", 1)[-1])
+                out["scaling"]["full_machine"] = fm
+                flush(out, sf_dir, cpus)
+            except BenchTimeout:
+                raise
+            except Exception as ex:
+                out["skipped"].append("scaling_full_machine")
+                print(f"full-machine leg skipped: {ex}", file=sys.stderr)
         else:
             out["skipped"].append("scaling_full_machine")
         if remaining() > 90:

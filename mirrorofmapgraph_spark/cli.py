@@ -19,8 +19,9 @@ generator spec ``rmat:scale=16,ef=16`` / ``random:n=4096,m=65536`` /
 
 Algorithms: the reference's four kernels (bfs, sssp, pagerank, cc) plus
 labelprop and triangles (north rule) and the extended link-analysis layer
-(ppr, hits, kcore, ktruss, linkpred — ``k=``, ``max_pivot_degree=``,
-``min_common=`` ride in ``-p``).
+(ppr, hits, kcore, ktruss, linkpred, wpr, walks — ``k=``,
+``max_pivot_degree=``, ``min_common=``, ``walks=``/``length=`` ride in
+``-p``; walk starts come from ``src=``/``-s`` like bfs sources).
 
 Parameter mapping (reference name -> here):
   src           source vertex id(s), comma-separated (bfs/sssp/ppr)
@@ -53,18 +54,25 @@ from typing import Sequence
 
 ALGOS = (
     "bfs", "sssp", "pagerank", "cc", "labelprop", "triangles",
-    "ppr", "hits", "kcore", "ktruss", "linkpred",
+    "ppr", "hits", "kcore", "ktruss", "linkpred", "wpr", "walks",
 )
 _IGNORED = {"device", "max_queue_sizing", "run_CPU", "with_value", "run_cpu"}
 
 
 def _parse_kv(text: str) -> dict[str, str]:
     out: dict[str, str] = {}
-    for tok in text.replace(",", " ").split():
-        if "=" not in tok:
-            raise SystemExit(f"bad parameter '{tok}' (want key=value)")
-        k, v = tok.split("=", 1)
-        out[k.strip()] = v.strip()
+    for tok in text.split():
+        # a comma separates k=v pairs ("scale=16,ef=16") UNLESS it is part
+        # of a value list ("src=0,2"): only split when every segment is
+        # itself a k=v pair
+        parts = [p for p in tok.split(",") if p]
+        if len(parts) <= 1 or not all("=" in p for p in parts):
+            parts = [tok]
+        for p in parts:
+            if "=" not in p:
+                raise SystemExit(f"bad parameter '{p}' (want key=value)")
+            k, v = p.split("=", 1)
+            out[k.strip()] = v.strip()
     return out
 
 
@@ -245,6 +253,25 @@ def _dispatch(spark, algo, edges, params, eng_kw, resume, iter_num, sources_file
             max_pivot_degree=int(cap) if cap is not None else None,
             min_common=int(params.get("min_common", "1")),
         ), None
+    if algo == "wpr":
+        res = pr_mod.weighted_pagerank(
+            spark, edges,
+            damping=float(params.get("damping", "0.85")),
+            tol=float(params.get("tol", "1e-6")),
+            max_iter=int(iter_num or 100), resume=resume, **eng_kw,
+        )
+        return res.vertices.select("id", "rank"), res.metrics
+    if algo == "walks":
+        from .operators import walks as walks_mod
+
+        srcs = _sources(params, sources_file)
+        per = int(params.get("walks", "1"))  # walks per source vertex
+        length = int(params.get("length", "4"))
+        starts = spark.createDataFrame(
+            [(i * per + j, s) for i, s in enumerate(srcs) for j in range(per)],
+            "walk_id long, vertex long",
+        )
+        return walks_mod.random_walks(spark, edges, starts, length), None
     if algo == "ppr":
         res = pr_mod.personalized_pagerank(
             spark, edges, _sources(params, sources_file),

@@ -24,6 +24,7 @@ def bfs_program() -> GASProgram:
     return GASProgram(
         name="bfs",
         mode="push",
+        uses_in_frontier=False,
         state_cols=("depth",),
         message=lambda df: F.col("depth") + F.lit(1),  # candidate depth
         combiner=F.min,

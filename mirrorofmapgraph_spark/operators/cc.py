@@ -31,6 +31,7 @@ def cc_program(expand_dir: str = "all") -> GASProgram:
     return GASProgram(
         name="cc",
         mode="push",
+        uses_in_frontier=False,
         expand_dir=expand_dir,
         state_cols=("label",),
         message=lambda df: F.col("label"),  # push my label (cc.h:289-302)

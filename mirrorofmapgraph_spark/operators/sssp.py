@@ -26,6 +26,7 @@ def sssp_program() -> GASProgram:
     return GASProgram(
         name="sssp",
         mode="push",
+        uses_in_frontier=False,
         state_cols=("dist",),
         message=lambda df: F.col("dist") + F.col("w"),  # relax (sssp.h:342-358)
         combiner=F.min,

@@ -154,6 +154,11 @@ class GASProgram:
     #: for exact undirected semantics, or rely on a duplicate-insensitive
     #: combiner (min/max) with raw directed edges.
     expand_dir: str = "out"
+    #: whether ``apply``/``changed`` read the ``_in_frontier`` column. Pull
+    #: mode derives the marker for free (see GASEngine._apply); push-mode
+    #: programs that ignore it (BFS/SSSP/CC key off ``_gathered`` instead)
+    #: set this False to skip the per-superstep frontier-marker join.
+    uses_in_frontier: bool = True
     #: optional replacement for the combiner-based gather aggregation:
     #: (msgs: DataFrame(src, dst, _msg)) -> DataFrame(dst, _gathered,
     #: _msg_cnt). For gathers that are NOT single-column algebraic
@@ -234,10 +239,19 @@ class GASEngine:
         #: logical plan doubles per fused step, and in local mode the
         #: planning + stage overhead of the 2^k-node plan exceeds the
         #: per-job fixed cost it amortizes (sf0.1 PageRank: k=3 ran
-        #: ~100-109 s vs ~70-87 s sequential). The option remains for
-        #: cluster deployments where driver/scheduler round-trips per job
-        #: dominate; results are exactly equivalent either way (validated
-        #: per-block via observations, tested).
+        #: ~100-109 s vs ~70-87 s sequential; the round-5 k=2 re-measure
+        #: after the shuffle-alignment + checkpoint-release fixes was a
+        #: wash — min-of-interleaved-reps 46.8 s fused vs 45.2 s
+        #: sequential, identical ranks — because the per-step floor is
+        #: Catalyst planning (~0.3 s toRdd + ~0.2 s plan build per step,
+        #: profiled), which chaining re-plans rather than amortizes). The
+        #: option remains for cluster deployments where driver/scheduler
+        #: round-trips per job dominate; results are exactly equivalent
+        #: either way (validated per-block via observations, tested).
+        #: What DID land from that experiment: the partial-frontier job
+        #: shape in _run_loop (state+frontier+metrics in ONE job) and the
+        #: marker-free pull apply — together -42% jobs per converged run
+        #: (584 -> 341 on the 82-step sf0.01 fixture).
         self.fuse_supersteps = fuse_supersteps
         #: "both"-direction traversal: False (default) runs the reverse
         #: pass over the SAME src-partitioned copy (persisted once; the
@@ -267,7 +281,7 @@ class GASEngine:
 
     # -- lineage + statistics cut (the ping-pong buffer swap) ---------------
 
-    def _cut(self, df: DataFrame) -> DataFrame:
+    def _cut(self, df: DataFrame, *, eager: bool = True) -> DataFrame:
         """Materialize, truncate lineage, AND reset inherited plan statistics.
 
         ``localCheckpoint`` alone truncates lineage but copies the optimized
@@ -288,7 +302,7 @@ class GASEngine:
         plain checkpoint if the internal plan shape ever changes (correctness
         unaffected, only planning speed).
         """
-        ck = df.localCheckpoint(eager=True)
+        ck = df.localCheckpoint(eager=eager)
         try:
             jlr = ck._jdf.queryExecution().analyzed()
             if not jlr.getClass().getName().endswith(".LogicalRDD"):
@@ -614,7 +628,12 @@ class GASEngine:
         # committed state. OFF by default — see the fuse_supersteps
         # constructor note for the measured local-mode tradeoff.
         fuse_on = self.fuse_supersteps > 1 and program.mode == "pull"
-        prev_changed_all = False
+        # regime predictor for the job shape below (correctness does not
+        # depend on it — both shapes are exact): a full entry frontier
+        # suggests an all-vertex program whose first steps stay all-changed
+        prev_changed_all = (
+            program.mode == "pull" and frontier_size >= self._n_vertices
+        )
         while frontier_size > 0 and step < max_iter:
             if fuse_on and prev_changed_all and max_iter - step >= 2:
                 k = min(self.fuse_supersteps, max_iter - step)
@@ -653,37 +672,54 @@ class GASEngine:
                     continue
             t0 = time.monotonic()
             applied = superstep_fn(program, vertices, frontier, frontier_size)
-            # Ping-pong buffer swap + lineage cut. The superstep plan embeds
-            # the previous state/frontier several times each, so WITHOUT a
-            # hard truncation the logical plan grows exponentially across
-            # supersteps (measured: 4 supersteps -> 60s of pure planning).
-            # changed/traversed readback rides the checkpoint materialization
-            # itself via df.observe (CollectMetrics fires when the eager
-            # localCheckpoint executes) — ZERO extra jobs per superstep; the
-            # readback feeds metrics and unlocks the changed==ALL expand
-            # fast path. collect_metrics is kept for API stability but the
-            # instrumentation is now free either way.
-            applied, obs = self._observe_applied(applied)
-            # the lineage+stats cut is the reference's reset_gather/
-            # double-buffer analogue (csr_problem.cuh:180-183).
-            applied = self._cut(applied)
-            vertices = applied.drop("_changed", "_msg_cnt")
-            row = self._read_observation(obs, applied)
+            # Ping-pong buffer swap + lineage cut (the reference's
+            # reset_gather/double-buffer analogue, csr_problem.cuh:180-183).
+            # The superstep plan embeds the previous state/frontier several
+            # times each, so WITHOUT a hard truncation the logical plan
+            # grows exponentially across supersteps (measured: 4 supersteps
+            # -> 60s of pure planning). Two job shapes, picked by regime:
+            if program.mode == "pull" and prev_changed_all:
+                # ALL-CHANGED regime: metrics ride the eager checkpoint via
+                # df.observe (CollectMetrics fires when the localCheckpoint
+                # executes — zero extra jobs); while the regime holds, the
+                # expand shuffle is skipped entirely (next frontier = the
+                # constant all-receivers set).
+                applied, obs = self._observe_applied(applied)
+                applied = self._cut(applied)
+                vertices = applied.drop("_changed", "_msg_cnt")
+                row = self._read_observation(obs, applied)
+                if self._all_changed(row):
+                    dkey = self._dir_key(program)
+                    frontier = self._all_receivers(dkey)
+                    frontier_size = self._all_recv_count[dkey]
+                else:
+                    frontier = self._next_frontier(
+                        program, applied, frontier_size
+                    ).persist(StorageLevel.MEMORY_AND_DISK)
+                    frontier_size = frontier.count()  # convergence readback
+            else:
+                # PARTIAL-FRONTIER regime (push programs, converging tails,
+                # graphs with never-changing sink senders): checkpoint
+                # LAZILY and attach the observation OVER the checkpoint scan
+                # inside the frontier query, so ONE job materializes the new
+                # state, the exact next frontier, AND the metrics (the
+                # frontier plan reads every applied row anyway for the
+                # _changed filter). Halves the per-superstep job count where
+                # the all-changed fast path can't engage — measured [see
+                # A/B in the commit] on the 82-step sf0.01 converged
+                # PageRank whose driver-gate cost this bounds. Exactness
+                # unchanged: the computed frontier is the same expand the
+                # eager path runs, co-partitioning is untouched.
+                applied = self._cut(applied, eager=False)
+                applied_obs, obs = self._observe_applied(applied)
+                vertices = applied.drop("_changed", "_msg_cnt")
+                frontier = self._next_frontier(
+                    program, applied_obs, frontier_size
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                frontier_size = frontier.count()  # one job: state+frontier
+                row = self._read_observation(obs, applied)
             changed_n = int(row["ch"] or 0)
             traversed = int(row["tr"] or 0)
-            if program.mode == "pull" and self._all_changed(row):
-                # every sender changed -> next frontier is the constant set
-                # of possible gather receivers; skip the edge-sized expand
-                # shuffle entirely (dominant regime for all-vertex programs
-                # like PageRank until convergence begins to localize).
-                dkey = self._dir_key(program)
-                frontier = self._all_receivers(dkey)
-                frontier_size = self._all_recv_count[dkey]
-            else:
-                frontier = self._next_frontier(program, applied, frontier_size).persist(
-                    StorageLevel.MEMORY_AND_DISK
-                )
-                frontier_size = frontier.count()  # convergence readback
             prev_changed_all = self._all_changed(row)
             step += 1
             wall_ms = (time.monotonic() - t0) * 1000.0
@@ -884,12 +920,26 @@ class GASEngine:
         )
         if frontier_size >= self._n_vertices:
             joined = joined.withColumn("_in_frontier", F.lit(True))
-        else:
+        elif program.mode == "pull":
+            # Partial pull regimes gather ONLY the frontier's receivers
+            # (the gather is frontier-pruned in regimes 1-2; in the
+            # all-receivers regime the frontier IS the receiver set), and
+            # every frontier member receives >= 1 message — it is the dst
+            # of an oriented edge by construction, and gather runs over ALL
+            # its in-neighbors. So membership == message receipt EXACTLY,
+            # and the frontier-marker join (one broadcast job per
+            # superstep) is replaced by a null test on the gather output.
+            joined = joined.withColumn("_in_frontier", F.col("_msg_cnt").isNotNull())
+        elif program.uses_in_frontier:
             joined = joined.join(
                 self._hint(frontier.withColumn("_f", F.lit(True)), frontier_size),
                 on="id",
                 how="left",
             ).withColumn("_in_frontier", F.coalesce(F.col("_f"), F.lit(False)))
+        else:
+            # push program that never reads the marker (declared via
+            # uses_in_frontier=False): skip the join entirely
+            joined = joined.withColumn("_in_frontier", F.lit(False))
         new_cols = program.apply(joined)
         for c, expr in new_cols.items():
             joined = joined.withColumn(f"_new_{c}", expr)
