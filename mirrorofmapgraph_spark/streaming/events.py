@@ -12,7 +12,7 @@ between supersteps. Every transformation also runs in plain batch mode
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -109,6 +109,7 @@ def event_edges(
     max_users_per_window: int = 1000,
     watermark: str = "2 hours",
     stream_user_mod: int = 1,
+    user_pred: Column | None = None,
 ) -> DataFrame:
     """Incremental graph feed: co-occurrence edges between users active in
     the same window.
@@ -141,9 +142,18 @@ def event_edges(
     window self-join is UNBOUNDED in window activity — one hot window with
     1M active users is 5*10^11 pairs. A loud warning fires in that
     configuration; pass ``stream_user_mod > 1`` (keep ~1/mod of users) to
-    bound it, or acknowledge the risk knowingly."""
+    bound it, or acknowledge the risk knowingly.
+
+    ``user_pred`` (optional, both paths): an explicit user-sampling
+    predicate over the input columns that replaces the ``xxhash64``
+    sampler — for callers that need the sample reproducible OUTSIDE Spark
+    (e.g. a plain-arithmetic predicate a SQL oracle can mirror;
+    ``xxhash64`` is Spark-specific). Supplying it counts as bounding the
+    join, so the unbounded-config warning does not fire."""
+    if user_pred is not None:
+        events = events.filter(user_pred)
     if events.isStreaming:
-        if stream_user_mod <= 1:
+        if stream_user_mod <= 1 and user_pred is None:
             import warnings
 
             warnings.warn(
@@ -162,7 +172,7 @@ def event_edges(
             src.withWatermark("ts", watermark)
             .select(F.window("ts", window).alias("win"), "user_id")
         )
-        if stream_user_mod > 1:
+        if stream_user_mod > 1 and user_pred is None:
             act = act.filter(
                 F.pmod(F.xxhash64(F.col("user_id")), F.lit(stream_user_mod)) == 0
             )
@@ -221,6 +231,7 @@ def stream_event_edges_to_parquet(
     window: str = "1 hour",
     watermark: str = "2 hours",
     stream_user_mod: int = 2,
+    user_pred: Column | None = None,
     timeout_s: int = 120,
 ):
     """End-to-end incremental edge feed: streaming ``event_edges`` appended
@@ -233,7 +244,8 @@ def stream_event_edges_to_parquet(
     watermark, and the rollup is a pure batch aggregation that can run at
     any cadence (or as foreachBatch MERGE into a keyed table)."""
     pairs = event_edges(
-        events, window=window, watermark=watermark, stream_user_mod=stream_user_mod
+        events, window=window, watermark=watermark,
+        stream_user_mod=stream_user_mod, user_pred=user_pred,
     )
     q = (
         pairs.writeStream.format("parquet")
