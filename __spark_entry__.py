@@ -479,6 +479,36 @@ def q_mtx_pagerank3(spark, sf_dir):
     return res.vertices.select("id", F.round("rank", 6).alias("pr"))
 
 
+def q_metis_edges(spark, sf_dir):
+    """b40c/graph/builder/metis.cuh parity under the VALUE gate: the METIS
+    adjacency reader (line-position vertex ids via the documented RDD
+    zipWithIndex exception, 1-based shift, comment skipping) over the
+    7-vertex METIS-manual fixture, checked against the inlined expected
+    edge list. Ignores sf_dir — the fixture is its own input."""
+    import os as _os
+
+    from mirrorofmapgraph_spark.sources.builders import read_metis
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "tests", "data", "small.graph")
+    return read_metis(spark, path)
+
+
+# the adjacency of tests/data/small.graph (1-based, as written); the
+# oracle inlines every directed edge after the 0-based shift, so the gate
+# pins the reader's comment skipping, line indexing, and id shift
+METIS_ADJ = [[5, 3, 2], [1, 3, 4], [5, 4, 2, 1], [2, 3, 6, 7], [1, 3, 6],
+             [5, 4, 7], [6, 4]]
+
+
+def _metis_edges_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {n - 1})" for i, nbrs in enumerate(METIS_ADJ) for n in nbrs
+    )
+    return (f"SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, "
+            f"CAST(1.0 AS DOUBLE) AS w FROM (VALUES {vals}) AS t(src, dst)")
+
+
 def q_builder_random_edges(spark, sf_dir):
     """b40c/graph/builder/random.cuh parity: the uniform random generator's
     edge table, value-gated against the same 31-bit LCG arithmetic in
@@ -2016,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": q_emb_neardup_pairs,
         # streaming path (real readStream -> append sink -> batch rollup)
         "events_stream_rollup": q_events_stream_rollup,
+        # METIS reader (new in r5 — closes the last §2.4 source format)
+        "graph_metis_edges": q_metis_edges,
         # GAS algorithms, fixed-iteration (exact SQL oracles)
         "graph_pagerank3": q_pagerank3,
         "graph_cc3": q_cc3,
@@ -2035,7 +2067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_walks,
         # one-shot graph dataflow
         "graph_triangle_count": q_triangle_count,
-        "graph_triangles_per_vertex": q_triangles_per_vertex,
         # reference .mtx fixture through the full ingest->GAS path
         "graph_mtx_pagerank3": q_mtx_pagerank3,
         # synthetic builders (b40c/graph/builder parity)
@@ -2070,6 +2101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_stratified": q_docs_sample_stratified,
         "docs_sample_per_lang": q_docs_sample_per_lang,
         # ---- redundantly-evidenced tail (see ORDER POLICY above) --------
+        # per-vertex triangles: the wedge machinery is pinned by the gated
+        # graph_triangle_count and the ktruss support counts
+        "graph_triangles_per_vertex": q_triangles_per_vertex,
         # single-source BFS: same engine path as graph_bfs_multi3 (gated
         # above) and graph_builder_grid2d_bfs's closed-form oracle
         "graph_bfs3": q_bfs3,
@@ -2116,6 +2150,7 @@ SELECT id, out_deg, rk FROM (
         "graph_mtx_pagerank3": _mtx_pagerank3_sql(),
         "graph_builder_random_edges": _builder_random_edges_sql(),
         "graph_builder_grid2d_bfs": _builder_grid2d_bfs_sql(),
+        "graph_metis_edges": _metis_edges_sql(),
         "mm_image_features": _mm_image_features_sql(),
         "mm_video_frames": _mm_video_frames_sql(),
         "graph_triangle_count": TRIANGLE_SQL,

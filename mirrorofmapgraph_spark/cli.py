@@ -12,7 +12,8 @@ This module reproduces that surface over the Spark engine:
         -p "src=0 iter_num=50" -o /tmp/depths
 
 Graph specs (``-g``): a ``.mtx`` file (Matrix Market), a ``.gr`` file
-(9th-DIMACS), a parquet path/dir with (src, dst[, w]) columns, or a
+(9th-DIMACS), a ``.graph``/``.metis`` file (METIS adjacency), a parquet
+path/dir with (src, dst[, w]) columns, or a
 generator spec ``rmat:scale=16,ef=16`` / ``random:n=4096,m=65536`` /
 ``grid2d:width=64`` / ``grid3d:width=16`` / ``rr:n=4096,degree=8``
 (b40c/graph/builder/*.cuh parity — see sources/builders.py).
@@ -134,6 +135,10 @@ def load_graph(spark, spec: str):
         from .sources.builders import read_dimacs
 
         return read_dimacs(spark, spec)
+    if spec.endswith((".graph", ".metis")):
+        from .sources.builders import read_metis
+
+        return read_metis(spark, spec)
     df = spark.read.parquet(spec)
     if "w" not in df.columns:
         df = df.withColumn("w", F.lit(1.0))

@@ -12,9 +12,12 @@ SAME arithmetic is expressible in the DuckDB oracle SQL: intermediate
 products stay under 2^63 for any index < 2^32, so BIGINT arithmetic is
 exact in both engines.
 
-metis.cuh has no analogue here: the METIS format encodes vertex ids by
-LINE POSITION, which makes parsing inherently sequential — out of scope
-(SURVEY §2.4), use mtx/dimacs/parquet instead.
+``read_metis`` covers metis.cuh: the METIS format encodes vertex ids by
+LINE POSITION, so the parse needs a global line index — the one place in
+the repo that touches an RDD (``zipWithIndex``, a deterministic two-pass
+per-partition-count scheme; Spark SQL has no row-position primitive for
+unordered text). Everything after the indexing is DataFrame-native
+(split/explode Column arithmetic).
 """
 
 from __future__ import annotations
@@ -151,4 +154,60 @@ def read_dimacs(spark: SparkSession, path: str) -> DataFrame:
         raise ValueError(f"{path}: {bad} malformed DIMACS arc line(s)")
     return parsed.select(
         (F.col("src1") - 1).alias("src"), (F.col("dst1") - 1).alias("dst"), "w"
+    )
+
+
+def read_metis(spark: SparkSession, path: str) -> DataFrame:
+    """METIS graph-file reader (b40c/graph/builder/metis.cuh parity).
+
+    Format: header line ``n_vertices n_edges [fmt]``; line i (1-based,
+    after the header, '%' comment lines skipped) lists the 1-based
+    neighbors of vertex i-1 after the 0-based shift — ``fmt`` ending in
+    ``1`` means each neighbor is followed by its edge weight. Vertex
+    weights (fmt ``1x`` / a 4th ``ncon`` header field) are rejected
+    explicitly rather than misparsed.
+
+    Line position IS the vertex id, so a global line index is required:
+    ``zipWithIndex`` (deterministic: per-partition counts + one scan) is
+    the documented RDD exception; the parse itself is Column arithmetic.
+    Returns (src, dst, w) with both endpoints 0-based, like read_mtx.
+    """
+    lines = (
+        spark.sparkContext.textFile(path)
+        .map(lambda s: s.strip())
+        .filter(lambda s: s and not s.startswith("%"))
+    )
+    df = spark.createDataFrame(
+        lines.zipWithIndex(), schema="line string, idx long"
+    )
+    header = [t for t in df.filter(F.col("idx") == 0).first()["line"].split()]
+    if len(header) not in (2, 3):
+        raise ValueError(f"malformed METIS header: {header!r}")
+    fmt = header[2] if len(header) == 3 else "0"
+    if fmt.lstrip("0") not in ("", "1"):
+        raise NotImplementedError(
+            f"METIS fmt={fmt!r}: vertex weights / multi-constraint graphs "
+            "are not supported (edge-weight fmt '1'/'001' and unweighted "
+            "'0' are)"
+        )
+    weighted = fmt.endswith("1") and fmt.lstrip("0") == "1"
+    toks = F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != "")
+    body = df.filter(F.col("idx") > 0).select(
+        (F.col("idx") - 1).alias("src"), toks.alias("toks")
+    )
+    if weighted:
+        pairs = F.expr(
+            "transform(sequence(0, int(size(toks)/2) - 1), "
+            "i -> struct(cast(toks[2*i] as long) - 1 as dst, "
+            "cast(toks[2*i+1] as double) as w))"
+        )
+        return body.select(
+            "src", F.explode(pairs).alias("p")
+        ).select("src", F.col("p.dst").alias("dst"), F.col("p.w").alias("w"))
+    return body.select(
+        "src", F.explode("toks").alias("t")
+    ).select(
+        "src",
+        (F.col("t").cast("long") - 1).alias("dst"),
+        F.lit(1.0).alias("w"),
     )

@@ -318,3 +318,44 @@ def test_cli_wpr_and_walks(spark, tmp_path):
         # each hop follows a ring edge (directed cycle: v -> v+1 mod 4)
         for t in range(1, 6):
             assert steps[t] == (steps[t - 1] + 1) % 4
+
+
+def test_read_metis_unweighted_and_weighted(spark, tmp_path):
+    """METIS adjacency reader (b40c/graph/builder/metis.cuh parity):
+    line position = vertex id, '%' comments skipped, 1-based -> 0-based
+    shift, edge-weight fmt '001', vertex-weight fmts rejected."""
+    from mirrorofmapgraph_spark.sources.builders import read_metis
+
+    # the classic 7-vertex METIS manual example graph (unweighted):
+    p = tmp_path / "g.graph"
+    p.write_text(
+        "% comment header\n7 11\n"
+        "5 3 2\n1 3 4\n% mid comment\n5 4 2 1\n2 3 6 7\n1 3 6\n5 4 7\n6 4\n"
+    )
+    rows = {(r["src"], r["dst"]) for r in read_metis(spark, str(p)).collect()}
+    assert len(rows) == 22  # 11 undirected edges, both directions listed
+    assert (0, 4) in rows and (4, 0) in rows and (3, 6) in rows
+    # symmetric (METIS adjacency lists both directions)
+    assert all((d, s) in rows for s, d in rows)
+
+    pw = tmp_path / "w.graph"
+    pw.write_text("3 2 001\n2 7.5\n1 7.5 3 2.0\n2 2.0\n")
+    got = sorted(map(tuple, read_metis(spark, str(pw)).collect()))
+    assert got == [(0, 1, 7.5), (1, 0, 7.5), (1, 2, 2.0), (2, 1, 2.0)]
+
+    bad = tmp_path / "vw.graph"
+    bad.write_text("2 1 011\n1 1 2\n1 2\n")
+    with pytest.raises(NotImplementedError, match="vertex weights"):
+        read_metis(spark, str(bad))
+
+
+def test_cli_metis_bfs(spark, tmp_path):
+    """BFS through the METIS path on a 4-ring written as adjacency lists."""
+    from mirrorofmapgraph_spark.cli import run
+
+    p = tmp_path / "ring.metis"
+    p.write_text("4 4\n2 4\n1 3\n2 4\n3 1\n")
+    out = tmp_path / "depths"
+    assert run(["bfs", "-g", str(p), "-o", str(out), "-p", "src=0"]) == 0
+    got = {r["id"]: r["depth"] for r in spark.read.parquet(str(out)).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
