@@ -568,11 +568,20 @@ def q_mm_image_features(spark, sf_dir):
 
     assets = synthesize_assets(spark, n=48, payload_bytes=256)
     img = decode_image(assets, fake=True, feature_dim=8)
+    # The 8 bucket sums are emitted as ONE comma-joined string rather than
+    # an array<long>: the driver's canonicalizer sorts result cells with
+    # pandas, and a list-typed cell is unhashable there (CORRECTNESS_r05
+    # "TypeError: unhashable type: 'list'" — the only red row of round 5).
+    # Same computation, scalar representation.
     return img.select(
         "asset_id", "width", "height", "channels",
-        F.transform(
-            "feature",
-            lambda x: F.round(x.cast("double") * F.lit(255.0 * 32)).cast("long"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * F.lit(255.0 * 32))
+                .cast("long").cast("string"),
+            ),
         ).alias("bucket_sums"),
     )
 
@@ -596,7 +605,7 @@ b AS (SELECT asset_id, p % 8 AS k,
 s AS (SELECT asset_id, k, SUM(v) AS sv FROM b GROUP BY 1, 2)
 SELECT s.asset_id, any_value(i.width) AS width, any_value(i.height) AS height,
        CAST(3 AS INTEGER) AS channels,
-       list(CAST(s.sv AS BIGINT) ORDER BY s.k) AS bucket_sums
+       string_agg(CAST(s.sv AS BIGINT), ',' ORDER BY s.k) AS bucket_sums
 FROM s JOIN img i USING (asset_id)
 GROUP BY s.asset_id"""
 
