@@ -66,6 +66,9 @@ def connected_components(
     expand_dir = "out" if pre_symmetrized else "all"
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
+        # setup frames derive from the persisted src-partitioned copy (the
+        # raw lineage would be re-evaluated per derivation otherwise)
+        edges = engine.edges_partitioned("src")
     if vertices is None:
         vertices = vertex_frame(edges)
     v0 = vertices.select("id", F.col("id").alias("label"))

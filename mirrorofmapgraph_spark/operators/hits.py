@@ -42,12 +42,14 @@ def hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    if vertices is None:
-        vertices = vertex_frame(edges)
 
     # one repartition per direction, reused by every iteration's join
     e_by_src = edges.select("src", "dst").repartition("src").persist()
     e_by_dst = e_by_src.repartition("dst").persist()
+    if vertices is None:
+        # derive from the persisted copy — the raw lineage would be
+        # re-evaluated once per union branch otherwise
+        vertices = vertex_frame(e_by_src)
 
     state = vertices.select(
         "id", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth")

@@ -105,6 +105,9 @@ def label_propagation(
         engine = GASEngine(
             spark, und, num_partitions=num_partitions, **engine_kwargs
         )
+        # setup frames derive from the persisted src-partitioned copy (the
+        # canonical-undirected build would be re-evaluated per derivation)
+        und = engine.edges_partitioned("src")
     if vertices is None:
         vertices = vertex_frame(und)
     prog = labelprop_program()

@@ -103,6 +103,7 @@ def personalized_pagerank(
     """
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
+        edges = engine.edges_partitioned("src")  # see pagerank(): one scan
     if vertices is None:
         vertices = vertex_frame(edges)
     if isinstance(sources, DataFrame):
@@ -148,6 +149,11 @@ def pagerank(
     """
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
+        # Derive the setup frames (vertex set, out-degrees, frontier) from
+        # the engine's persisted src-partitioned copy: the raw lineage
+        # (e.g. parquet scan + distinct) is otherwise re-evaluated once
+        # per derivation — several redundant input scans before the loop.
+        edges = engine.edges_partitioned("src")
     if vertices is None:
         vertices = vertex_frame(edges)
     deg = out_degrees(edges)
@@ -211,6 +217,7 @@ def weighted_pagerank(
     dangling vertices (contribute nothing)."""
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
+        edges = engine.edges_partitioned("src")  # see pagerank(): one scan
     if vertices is None:
         vertices = vertex_frame(edges)
     wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))

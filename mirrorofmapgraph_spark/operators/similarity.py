@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot, norm  # noqa: F401 (cosine: API)
 
 
 def _lcg_floats(count: int, seed: int) -> list[float]:
@@ -103,13 +103,62 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, vec_id, score, rank). Queries are the
-    small side (broadcast); the corpus streams once."""
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    """Exact cosine top-k: (query_id, vec_id, score, rank).
+
+    The query batch is the small side by definition (a kNN request); it is
+    read once and shipped to every task as a numpy matrix — the same
+    collect-to-closure shape as the LSH plane matrix in
+    ``simhash_buckets``, and the guide's broadcast-the-plan pattern. The
+    corpus then streams ONCE through an Arrow batch kernel that scores a
+    whole batch against all queries with vectorized numpy, replacing the
+    per-pair JVM higher-order-function folds (zip_with/aggregate are
+    interpreted — no whole-stage codegen) that dominated the wall, and
+    shipping only (query_id, vec_id, score) scalars back.
+
+    Determinism: the accumulation runs dimension-by-dimension in float64 —
+    the exact fold order of ``functions.vectors.cosine`` and of the SQL
+    oracles' list_dot_product — so scores are bit-identical to the
+    expression formulation (multiplication and addition sequences match
+    IEEE op for IEEE op; no BLAS reassociation).
+    """
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    nq = len(qids)
+    d = Q.shape[1] if nq else 0
+    qacc = np.zeros(nq)
+    for j in range(d):
+        qacc = qacc + Q[:, j] * Q[:, j]
+    qnorm = np.sqrt(qacc)
+
+    out_schema = f"{query_id_col} long, {id_col} long, score double"
+
+    def _score(batches):
+        for pdf in batches:
+            b = len(pdf)
+            if b == 0 or nq == 0:
+                continue
+            X = np.array(list(pdf[vec_col].to_numpy()), dtype=np.float64)
+            xacc = np.zeros(b)
+            dots = np.zeros((b, nq))
+            for j in range(d):
+                xj = X[:, j]
+                xacc = xacc + xj * xj
+                dots = dots + xj[:, None] * Q[None, :, j]
+            score = dots / (np.sqrt(xacc)[:, None] * qnorm[None, :])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.tile(qids, b),
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy().astype(np.int64), nq
+                    ),
+                    "score": score.ravel(),
+                }
+            )
+
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, out_schema
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(q))
-    scored = scored.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -141,19 +190,34 @@ def lsh_topk(
     neighbor at cosine >= 0.9 is recalled with prob >= 0.99 (see module
     docstring math; recall asserted in tests on planted clusters).
     """
-    cb = simhash_buckets(corpus, vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed)
-    qb = simhash_buckets(queries, vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed)
+    # norms are per-VECTOR quantities: compute them once before the band
+    # explode / candidate join instead of re-folding both arrays inside
+    # every per-pair cosine (same fold, same doubles — just hoisted)
+    cb = simhash_buckets(
+        corpus.withColumn("_n", norm(F.col(vec_col))),
+        vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed,
+    )
+    qb = simhash_buckets(
+        queries.withColumn("_qn", norm(F.col(vec_col))),
+        vec_col, dim=dim, num_planes=num_planes, bands=bands, seed=seed,
+    )
     cand = (
-        cb.select(id_col, vec_col, "band", "bucket")
+        cb.select(id_col, vec_col, "_n", "band", "bucket")
         .join(
             F.broadcast(
-                qb.select(query_id_col, F.col(vec_col).alias("_qvec"), "band", "bucket")
+                qb.select(
+                    query_id_col, F.col(vec_col).alias("_qvec"), "_qn",
+                    "band", "bucket",
+                )
             ),
             on=["band", "bucket"],
         )
         .dropDuplicates([query_id_col, id_col])
     )
-    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+    scored = cand.withColumn(
+        "score",
+        dot(F.col(vec_col), F.col("_qvec")) / (F.col("_n") * F.col("_qn")),
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -264,10 +328,14 @@ def ivf_assign(
     cent_id. One broadcast pass over the corpus; the argmax is a
     map-side-partial-friendly max(struct(score, -cent_id)) — no window
     shuffle of corpus-sized data."""
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(
-        F.broadcast(cents)
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        # per-vector norms hoisted out of the nlist-way cross join: one
+        # fold per row instead of one per (row x centroid)
+        .withColumn("_n", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents.withColumn("_cn", norm(F.col("cvec")))))
     )
-    s = cosine(F.col(vec_col), F.col("cvec"))
+    s = dot(F.col(vec_col), F.col("cvec")) / (F.col("_n") * F.col("_cn"))
     return (
         scored.select(F.col(id_col), F.col("cent_id"), s.alias("_s"))
         .groupBy(id_col)
@@ -303,22 +371,35 @@ def ivf_topk(
         corpus, nlist=nlist, id_col=id_col, vec_col=vec_col, lloyd_iters=lloyd_iters
     )
     assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-    inv = corpus.select(F.col(id_col), F.col(vec_col)).join(assigned, on=id_col)
+    # per-vector norms hoisted: folded once per corpus/query row here, then
+    # reused by every candidate pair below instead of re-folding per pair
+    inv = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_n", norm(F.col(vec_col)))
+        .join(assigned, on=id_col)
+    )
     # query-side probe list: queries are the small side — a per-query
     # window over nlist rows each
-    qs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    qscored = qs.crossJoin(F.broadcast(cents)).select(
-        query_id_col, "_qvec", "cent_id",
-        cosine(F.col("_qvec"), F.col("cvec")).alias("_s"),
+    qs = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qn", norm(F.col("_qvec")))
+    qscored = qs.crossJoin(
+        F.broadcast(cents.withColumn("_cn", norm(F.col("cvec"))))
+    ).select(
+        query_id_col, "_qvec", "_qn", "cent_id",
+        (dot(F.col("_qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))).alias("_s"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("cent_id"))
     probes = (
         qscored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= nprobe)
-        .select(query_id_col, "_qvec", "cent_id")
+        .select(query_id_col, "_qvec", "_qn", "cent_id")
     )
     cand = inv.join(F.broadcast(probes), on="cent_id")
-    scored = cand.withColumn("score", cosine(F.col(vec_col), F.col("_qvec")))
+    scored = cand.withColumn(
+        "score",
+        dot(F.col(vec_col), F.col("_qvec")) / (F.col("_n") * F.col("_qn")),
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -367,11 +448,28 @@ def near_duplicates_cosine(
     cand = blocked_candidate_pairs(keyed, max_bucket=max_bucket).dropDuplicates(
         ["id_a", "id_b"]
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # per-vector norms folded once per vector here (linear), not once per
+    # candidate pair (the candidate set is ~collision-rate x n^2)
+    vecs = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("_vn", norm(F.col("v")))
     pairs = (
-        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), on="id_a")
-        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), on="id_b")
-        .withColumn("score", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                        F.col("_vn").alias("_na")),
+            on="id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                        F.col("_vn").alias("_nb")),
+            on="id_b",
+        )
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .filter(F.col("score") >= threshold)
     )
     return pairs.select("id_a", "id_b", "score")

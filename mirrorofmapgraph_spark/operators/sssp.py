@@ -56,6 +56,9 @@ def sssp(
 
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
+        # setup frames derive from the persisted src-partitioned copy (the
+        # raw lineage would be re-evaluated per derivation otherwise)
+        edges = engine.edges_partitioned("src")
     if vertices is None:
         vertices = vertex_frame(edges)
     marked = _mark_sources(vertices, source)

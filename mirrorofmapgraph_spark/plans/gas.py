@@ -327,13 +327,22 @@ class GASEngine:
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
 
     def edges_partitioned(self, key: str) -> DataFrame:
-        """Edge table hash-partitioned by ``key`` and persisted, so the big
-        side of every superstep join is pre-shuffled (the analogue of the
-        reference's one-time CSR/CSC device build, csr_problem.cuh:401-625)."""
+        """Edge table hash-partitioned by ``key``, materialized and
+        lineage-cut, so the big side of every superstep join is
+        pre-shuffled (the analogue of the reference's one-time CSR/CSC
+        device build, csr_problem.cuh:401-625).
+
+        The cut (localCheckpoint -> ``LogicalRDD`` leaf, output
+        partitioning preserved) matters as much as the caching: a plain
+        ``persist`` keeps the full raw lineage (scan + distinct +
+        repartition) in the LOGICAL plan, so every superstep re-pays
+        Catalyst analysis/optimization over that subtree — 2-3 references
+        per step x O(100) steps — even though execution reads the cache.
+        With the leaf, the per-step plan starts at the materialized RDD."""
         if key not in self._edges_by:
-            df = self._edges_raw.repartition(
-                self._ensure_partitions(), F.col(key)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            df = self._cut(
+                self._edges_raw.repartition(self._ensure_partitions(), F.col(key))
+            )
             self._edges_by[key] = df
         return self._edges_by[key]
 
@@ -386,7 +395,7 @@ class GASEngine:
 
     def unpersist(self) -> None:
         for df in self._edges_by.values():
-            df.unpersist()
+            self._release_cut(df)  # checkpoint blocks; unpersist() is a no-op
         self._edges_by.clear()
         self._all_recv = {}
         self._all_recv_count = {}
@@ -513,6 +522,11 @@ class GASEngine:
         """Iterate supersteps until the frontier drains or ``max_iter``.
 
         ``vertices``: (id, *program.state_cols); ``frontier``: (id).
+        INVARIANT (pull mode): ``vertices`` must cover every edge endpoint
+        of the gather direction — the marker-free apply equates frontier
+        membership with message receipt, which holds for engine-derived
+        frontiers over a covering vertex set; a caller-supplied vertices
+        frame that omits some edge sources changes apply semantics.
 
         Shuffle budget per superstep (the 100TB design contract):
         - edges are hash-partitioned by ``src`` ONCE before the loop;

@@ -172,10 +172,14 @@ def read_metis(spark: SparkSession, path: str) -> DataFrame:
     the documented RDD exception; the parse itself is Column arithmetic.
     Returns (src, dst, w) with both endpoints 0-based, like read_mtx.
     """
+    # Filter ONLY '%' comment lines before indexing: a blank adjacency
+    # line is a valid degree-0 vertex (metis.cuh increments current_node
+    # on every newline), and dropping it would silently shift every later
+    # vertex id. Blank lines simply emit no edges below.
     lines = (
         spark.sparkContext.textFile(path)
         .map(lambda s: s.strip())
-        .filter(lambda s: s and not s.startswith("%"))
+        .filter(lambda s: not s.startswith("%"))
     )
     df = spark.createDataFrame(
         lines.zipWithIndex(), schema="line string, idx long"
@@ -196,12 +200,22 @@ def read_metis(spark: SparkSession, path: str) -> DataFrame:
         (F.col("idx") - 1).alias("src"), toks.alias("toks")
     )
     if weighted:
+        # odd token count = a neighbor without its weight (corrupt input):
+        # fail loudly instead of silently dropping the trailing token
+        odd = body.filter(F.size("toks") % 2 == 1).count()
+        if odd:
+            raise ValueError(
+                f"{path}: {odd} weighted METIS adjacency line(s) with an odd "
+                "token count (each neighbor needs a weight under fmt '1')"
+            )
+        # guard size(toks)==0 (degree-0 vertex emits no edges): without the
+        # filter, sequence(0, -1) would yield spurious [0, -1] indices
         pairs = F.expr(
             "transform(sequence(0, int(size(toks)/2) - 1), "
             "i -> struct(cast(toks[2*i] as long) - 1 as dst, "
             "cast(toks[2*i+1] as double) as w))"
         )
-        return body.select(
+        return body.filter(F.size("toks") > 0).select(
             "src", F.explode(pairs).alias("p")
         ).select("src", F.col("p.dst").alias("dst"), F.col("p.w").alias("w"))
     return body.select(

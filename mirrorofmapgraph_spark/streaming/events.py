@@ -195,7 +195,18 @@ def event_edges(
     rk = F.row_number().over(
         Window.partitionBy("win").orderBy(F.desc("_n_ev"), F.asc("user_id"))
     )
-    act = act.withColumn("_rk", rk).filter(F.col("_rk") <= max_users_per_window)
+    from pyspark.storagelevel import StorageLevel
+
+    # BOTH sides of the pair self-join reference this frame — without a
+    # persist the scan + activity groupBy + per-window ranking all run
+    # twice (measured ~2x the query). Linear state: <= cap rows per
+    # window, MEMORY_AND_DISK, LRU-evicted.
+    act = (
+        act.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= max_users_per_window)
+        .select("win", "user_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = act.select("win", F.col("user_id").alias("src"))
     b = act.select("win", F.col("user_id").alias("dst"))
     return (

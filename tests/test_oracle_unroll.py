@@ -8,6 +8,7 @@ mysterious engine-vs-oracle hash mismatch in the driver artifact."""
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 
@@ -18,7 +19,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as em  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("MOMG_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR),
+    reason=f"oracle fixture dir {SF_DIR} not present on this machine",
+)
 TABLES = ["lineitem", "documents", "events"]
 
 

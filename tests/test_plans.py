@@ -79,14 +79,20 @@ def test_gas_pull_superstep_plan_shape(spark, make_edges):
     assert "partial_sum" in p or "partial" in p.lower()  # map-side combine
 
 
-def test_knn_brute_force_broadcasts_queries(spark):
-    """The 200-query side must broadcast; the corpus streams once."""
+def test_knn_brute_force_streams_corpus_once(spark):
+    """The corpus must stream ONCE through the Arrow scoring kernel (the
+    query batch ships inside the kernel closure as a numpy matrix); no
+    per-pair join of corpus x queries, and only (query_id, vec_id, score)
+    scalars reach the top-k shuffle."""
     import __spark_entry__ as m
 
     p = plan(m.q_emb_knn_bruteforce(spark, SF_DIR))
-    assert "Broadcast" in p  # queries broadcast (BNLJ over broadcast is the
-    # intended physical shape for the scored cross product)
-    assert "SortMergeJoin" not in p.split("Broadcast")[0]
+    assert "MapInPandas" in p  # batched numpy scoring kernel
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+    # exactly one corpus scan feeds the kernel, pruned to id + vector
+    scans = [s for s in p.split("ReadSchema")[1:]]
+    assert len(scans) == 1
+    assert "embedding" in scans[0].split("\n")[0]
 
 
 def test_ivf_assignment_has_no_window_over_corpus(spark):
