@@ -327,22 +327,19 @@ class GASEngine:
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
 
     def edges_partitioned(self, key: str) -> DataFrame:
-        """Edge table hash-partitioned by ``key``, materialized and
-        lineage-cut, so the big side of every superstep join is
-        pre-shuffled (the analogue of the reference's one-time CSR/CSC
-        device build, csr_problem.cuh:401-625).
+        """Edge table hash-partitioned by ``key`` and persisted, so the big
+        side of every superstep join is pre-shuffled (the analogue of the
+        reference's one-time CSR/CSC device build, csr_problem.cuh:401-625).
 
-        The cut (localCheckpoint -> ``LogicalRDD`` leaf, output
-        partitioning preserved) matters as much as the caching: a plain
-        ``persist`` keeps the full raw lineage (scan + distinct +
-        repartition) in the LOGICAL plan, so every superstep re-pays
-        Catalyst analysis/optimization over that subtree — 2-3 references
-        per step x O(100) steps — even though execution reads the cache.
-        With the leaf, the per-step plan starts at the materialized RDD."""
+        ``persist`` (SQL columnar cache), NOT ``localCheckpoint``: an A/B
+        this round showed the LogicalRDD leaf saves a little Catalyst
+        analysis per step but loses the compressed columnar in-memory scan
+        (checkpoint blocks are row-serialized) — measured +26% median
+        superstep wall at sf0.1 (264 -> 333 ms). The columnar cache wins."""
         if key not in self._edges_by:
-            df = self._cut(
-                self._edges_raw.repartition(self._ensure_partitions(), F.col(key))
-            )
+            df = self._edges_raw.repartition(
+                self._ensure_partitions(), F.col(key)
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             self._edges_by[key] = df
         return self._edges_by[key]
 
@@ -395,7 +392,7 @@ class GASEngine:
 
     def unpersist(self) -> None:
         for df in self._edges_by.values():
-            self._release_cut(df)  # checkpoint blocks; unpersist() is a no-op
+            df.unpersist()
         self._edges_by.clear()
         self._all_recv = {}
         self._all_recv_count = {}
@@ -577,6 +574,12 @@ class GASEngine:
             # EVERY superstep and every stage schedules 4x the tasks the
             # data needs. Session value restored after the loop.
             "spark.sql.shuffle.partitions": str(self._ensure_partitions()),
+            # Constraint propagation is pure per-step planning cost here
+            # (SPARK-19846: quadratic in plan width, recomputed every
+            # superstep because every superstep is a fresh plan); the loop
+            # joins are equi-joins on non-null synthetic keys, so the
+            # derived IsNotNull/filter constraints never prune anything.
+            "spark.sql.constraintPropagation.enabled": "false",
         }
         prev = {k: self.spark.conf.get(k, None) for k in loop_confs}
         for k, v in loop_confs.items():
