@@ -53,40 +53,53 @@ def _degree_oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
-    """All triangles as rows (a, b, c) with a < b < c (exactly once each).
+def _oriented_common_neighbors(edges: DataFrame) -> DataFrame:
+    """(x, y, _common) per degree-oriented edge: the sorted out-neighbor
+    arrays of both endpoints intersected — ``_common`` lists exactly the
+    triangle apexes z with x->z and y->z. Each triangle {x', y', z'} has
+    exactly ONE oriented edge whose endpoints both point at the third
+    vertex, so rows/sizes of ``_common`` enumerate triangles exactly once.
 
-    The canonical undirected table is persisted for the duration of the
-    plan: the dataflow references it from the degree computation, both
-    wedge sides, and the closing-edge join, and without a persist each
-    reference re-derives the input (scan + distinct) from scratch —
-    measured 4-5 re-evaluations. Linear state, MEMORY_AND_DISK, LRU-evicted.
-    """
+    This replaces the wedge self-join: instead of materializing and
+    shuffling one row per wedge (sum deg_o^2 rows — 31M at sf0.1 for a
+    0.5M-edge graph, A/B'd 5.8 -> 3.1 s), adjacency arrays are built once
+    (vertex-sized state, bounded per row by the degree-orientation
+    O(sqrt m) out-degree cap) and the closing test is one JVM
+    array_intersect per edge."""
     from pyspark.storagelevel import StorageLevel
 
     und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    if degree_oriented:
-        o = _degree_oriented(und).persist(StorageLevel.MEMORY_AND_DISK)
-        # wedges pivoting at x: (x->y), (x->z); closing edge y-z in either
-        # canonical direction.
-        w1 = o.select(F.col("x"), F.col("y"))
-        w2 = o.select(F.col("x"), F.col("y").alias("z"))
-        wedges = w1.join(w2, on="x").filter(F.col("y") < F.col("z"))
-        tri = wedges.join(
-            und.select(F.col("a").alias("y"), F.col("b").alias("z")),
-            on=["y", "z"],
-            how="inner",
+    o = _degree_oriented(und).persist(StorageLevel.MEMORY_AND_DISK)
+    adj = o.groupBy("x").agg(F.sort_array(F.collect_list("y")).alias("_nbrs"))
+    return (
+        o.join(adj, on="x")
+        .join(
+            adj.select(F.col("x").alias("y"), F.col("_nbrs").alias("_nbrs_y")),
+            on="y",
         )
+        .select(
+            "x", "y", F.array_intersect("_nbrs", "_nbrs_y").alias("_common")
+        )
+    )
+
+
+def triangles(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
+    """All triangles as rows (a, b, c) with a < b < c (exactly once each)."""
+    from pyspark.storagelevel import StorageLevel
+
+    if degree_oriented:
+        tri = _oriented_common_neighbors(edges).select(
+            "x", "y", F.explode("_common").alias("z")
+        )
+        lo = F.least("x", "y", "z")
+        hi = F.greatest("x", "y", "z")
         return tri.select(
-            F.least("x", "y").alias("a"),
-            F.when(
-                (F.col("y") < F.col("x")) & (F.col("x") < F.col("z")), F.col("x")
-            ).when(
-                (F.col("z") < F.col("x")), F.col("z")
-            ).otherwise(F.col("y")).alias("b"),
-            F.greatest("x", "z").alias("c"),
+            lo.alias("a"),
+            (F.col("x") + F.col("y") + F.col("z") - lo - hi).alias("b"),
+            hi.alias("c"),
         )
     # plain a<b<c join chain
+    und = canonical_undirected(edges).persist(StorageLevel.MEMORY_AND_DISK)
     e1 = und.select(F.col("a"), F.col("b"))
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e1.join(e2, on="b")
@@ -97,6 +110,14 @@ def triangles(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
 
 def triangle_count(edges: DataFrame, degree_oriented: bool = True) -> DataFrame:
     """Single-row DataFrame (n_triangles long)."""
+    if degree_oriented:
+        # same enumeration as triangles(); the count only needs the
+        # intersection SIZES, so skip the row explosion entirely
+        return _oriented_common_neighbors(edges).agg(
+            F.coalesce(
+                F.sum(F.size("_common").cast("long")), F.lit(0).cast("long")
+            ).alias("n_triangles")
+        )
     return triangles(edges, degree_oriented).agg(F.count("*").alias("n_triangles"))
 
 
