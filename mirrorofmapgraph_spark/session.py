@@ -21,8 +21,18 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Prefer shuffled-hash over sort-merge when the planner's size checks
+    # allow it (guide §3.1): the build side of our joins is vertex-sized or
+    # candidate-sized per partition, and SMJ would re-sort edge-sized data.
+    # AQE may additionally rewrite SMJ -> SHJ at runtime when post-shuffle
+    # partitions are under the local-map threshold.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Arrow batch transfer for pandas UDFs (link extraction, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow for scalar @udf bodies too (none on hot paths today; guide §4.3
+    # default for new code).
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Deterministic timestamp behaviour for parquet written by other engines.
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
