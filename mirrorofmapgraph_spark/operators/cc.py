@@ -66,9 +66,14 @@ def connected_components(
     expand_dir = "out" if pre_symmetrized else "all"
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
-        # setup frames derive from the persisted src-partitioned copy (the
-        # raw lineage would be re-evaluated per derivation otherwise)
+        # setup frames derive from the engine's one endpoint-stats
+        # aggregation (see GASEngine.vertex_stats) instead of a separate
+        # vertex_frame distinct over the raw lineage
         edges = engine.edges_partitioned("src")
+        if vertices is None:
+            vertices = engine.vertex_stats(
+                "fwd" if pre_symmetrized else "both"
+            ).select("id")
     if vertices is None:
         vertices = vertex_frame(edges)
     v0 = vertices.select("id", F.col("id").alias("label"))

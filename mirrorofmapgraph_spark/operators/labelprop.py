@@ -105,9 +105,14 @@ def label_propagation(
         engine = GASEngine(
             spark, und, num_partitions=num_partitions, **engine_kwargs
         )
-        # setup frames derive from the persisted src-partitioned copy (the
-        # canonical-undirected build would be re-evaluated per derivation)
+        # setup frames derive from the engine's one endpoint-stats
+        # aggregation (see GASEngine.vertex_stats) instead of a separate
+        # vertex_frame distinct re-running the canonical-undirected build
         und = engine.edges_partitioned("src")
+        if vertices is None:
+            vertices = engine.vertex_stats(
+                "both" if prog_dir == "all" else "fwd"
+            ).select("id")
     if vertices is None:
         vertices = vertex_frame(und)
     prog = labelprop_program()

@@ -101,29 +101,35 @@ def personalized_pagerank(
     The source set rides as a broadcast-joined indicator column, so the
     big vertex frame is touched once — no driver-side membership test.
     """
+    stats = None
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
         edges = engine.edges_partitioned("src")  # see pagerank(): one scan
-    if vertices is None:
-        vertices = vertex_frame(edges)
+        stats = engine.vertex_stats("fwd")
     if isinstance(sources, DataFrame):
         src_df = sources.select(F.col(sources.columns[0]).alias("id")).dropDuplicates()
     else:
         ids = [sources] if not isinstance(sources, (list, tuple)) else list(sources)
         src_df = spark.createDataFrame([(int(i),) for i in ids], "id long").dropDuplicates()
-    deg = out_degrees(edges)
     base = 1.0 - damping
+    if vertices is None and stats is not None:
+        vd = stats.select("id", F.col("n_src").cast("long").alias("out_deg"))
+    else:
+        if vertices is None:
+            vertices = vertex_frame(edges)
+        vd = vertices.join(out_degrees(edges), on="id", how="left").select(
+            "id", F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg")
+        )
     v0 = (
-        vertices.join(deg, on="id", how="left")
-        .join(F.broadcast(src_df.withColumn("_is_src", F.lit(1.0))), "id", "left")
+        vd.join(F.broadcast(src_df.withColumn("_is_src", F.lit(1.0))), "id", "left")
         .select(
             "id",
             (F.lit(base) * F.coalesce("_is_src", F.lit(0.0))).alias("rank"),
-            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            "out_deg",
             F.coalesce("_is_src", F.lit(0.0)).alias("src_w"),
         )
     )
-    frontier0 = vertices.select("id")
+    frontier0 = vd.select("id")
     prog = personalized_pagerank_program(damping=damping, tol=tol)
     return engine.run(prog, v0, frontier0, max_iter=max_iter)
 
@@ -147,25 +153,36 @@ def pagerank(
     base 0.15, as in the reference where every allocated vertex holds
     rank even if degree 0).
     """
+    stats = None
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
-        # Derive the setup frames (vertex set, out-degrees, frontier) from
-        # the engine's persisted src-partitioned copy: the raw lineage
-        # (e.g. parquet scan + distinct) is otherwise re-evaluated once
-        # per derivation — several redundant input scans before the loop.
+        # Setup frames derive from the engine's ONE materialized
+        # endpoint-stats aggregation (vertex set + out-degrees in a single
+        # shuffle, shared with the engine's all-receivers/sender counts)
+        # instead of separate vertex_frame/out_degrees shuffles over the
+        # raw lineage — measured ~8 s of pre-loop jobs at sf0.1.
         edges = engine.edges_partitioned("src")
-    if vertices is None:
-        vertices = vertex_frame(edges)
-    deg = out_degrees(edges)
-    v0 = (
-        vertices.join(deg, on="id", how="left")
-        .select(
+        stats = engine.vertex_stats("fwd")
+    if vertices is None and stats is not None:
+        v0 = stats.select(
             "id",
             F.lit(1.0 - damping).alias("rank"),
-            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            F.col("n_src").cast("long").alias("out_deg"),
         )
-    )
-    frontier0 = vertices.select("id")  # srcVertex() == ALL (PageRank.h:192-195)
+        frontier0 = stats.select("id")  # srcVertex() == ALL (PageRank.h:192-195)
+    else:
+        if vertices is None:
+            vertices = vertex_frame(edges)
+        deg = out_degrees(edges)
+        v0 = (
+            vertices.join(deg, on="id", how="left")
+            .select(
+                "id",
+                F.lit(1.0 - damping).alias("rank"),
+                F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias("out_deg"),
+            )
+        )
+        frontier0 = vertices.select("id")
     prog = pagerank_program(damping=damping, tol=tol)
     return engine.run(prog, v0, frontier0, max_iter=max_iter, resume=resume)
 
@@ -215,20 +232,31 @@ def weighted_pagerank(
     ``edges`` must carry a double ``w`` column (the repo link graph's
     edge multiplicity / affinity). Zero-total-weight vertices behave like
     dangling vertices (contribute nothing)."""
+    stats = None
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
         edges = engine.edges_partitioned("src")  # see pagerank(): one scan
-    if vertices is None:
-        vertices = vertex_frame(edges)
-    wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
-    v0 = (
-        vertices.join(wdeg, on="id", how="left")
-        .select(
+        if "w" in edges.columns:
+            stats = engine.vertex_stats("fwd")
+    if vertices is None and stats is not None:
+        v0 = stats.select(
             "id",
             F.lit(1.0 - damping).alias("rank"),
-            F.coalesce(F.col("wout"), F.lit(0.0)).cast("double").alias("wout"),
+            F.col("w_src").cast("double").alias("wout"),
         )
-    )
-    frontier0 = vertices.select("id")
+        frontier0 = stats.select("id")
+    else:
+        if vertices is None:
+            vertices = vertex_frame(edges)
+        wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wout"))
+        v0 = (
+            vertices.join(wdeg, on="id", how="left")
+            .select(
+                "id",
+                F.lit(1.0 - damping).alias("rank"),
+                F.coalesce(F.col("wout"), F.lit(0.0)).cast("double").alias("wout"),
+            )
+        )
+        frontier0 = vertices.select("id")
     prog = weighted_pagerank_program(damping=damping, tol=tol)
     return engine.run(prog, v0, frontier0, max_iter=max_iter, resume=resume)

@@ -56,9 +56,12 @@ def sssp(
 
     if engine is None:
         engine = GASEngine(spark, edges, **engine_kwargs)
-        # setup frames derive from the persisted src-partitioned copy (the
-        # raw lineage would be re-evaluated per derivation otherwise)
+        # setup frames derive from the engine's one endpoint-stats
+        # aggregation (see GASEngine.vertex_stats) instead of a separate
+        # vertex_frame distinct over the raw lineage
         edges = engine.edges_partitioned("src")
+        if vertices is None:
+            vertices = engine.vertex_stats("fwd").select("id")
     if vertices is None:
         vertices = vertex_frame(edges)
     marked = _mark_sources(vertices, source)

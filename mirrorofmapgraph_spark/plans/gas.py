@@ -317,11 +317,26 @@ class GASEngine:
             jds = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
                 self.spark._jsparkSession, stripped
             )
-            return DataFrame(jds, self.spark)
+            out = DataFrame(jds, self.spark)
+            # remember the checkpointed JVM RDD so _release_cut is ONE
+            # py4j call instead of a per-superstep analyzed-plan walk
+            out._momg_ck_rdd = jlr.rdd()  # noqa: SLF001
+            return out
         except Exception:
             return ck
 
     def _release_cut(self, df: DataFrame) -> None:
+        rdd = getattr(df, "_momg_ck_rdd", None)
+        if rdd is not None:
+            global _RDD_WARN_QUIETED
+            if not _RDD_WARN_QUIETED:
+                release_local_checkpoint(self.spark, df)  # quiets the logger
+                return
+            try:
+                rdd.unpersist(False)
+                return
+            except Exception:
+                pass
         release_local_checkpoint(self.spark, df)
 
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
@@ -394,6 +409,10 @@ class GASEngine:
         for df in self._edges_by.values():
             df.unpersist()
         self._edges_by.clear()
+        if self._vstats:
+            for df in self._vstats.values():
+                self._release_cut(df)
+        self._vstats = {}
         self._all_recv = {}
         self._all_recv_count = {}
 
@@ -401,6 +420,56 @@ class GASEngine:
     #: GATHER_IN_EDGES, "src" for GATHER_OUT_EDGES), computed once each
     _all_recv: dict = None
     _all_recv_count: dict = None
+    #: per-direction endpoint statistics, computed once each (see
+    #: vertex_stats)
+    _vstats: dict = None
+
+    def vertex_stats(self, dkey: str = "fwd") -> DataFrame:
+        """(id, n_src, n_dst[, w_src]) over the oriented frames of ``dkey``,
+        materialized once: n_src = rows with this id as src (the
+        out-degree of the oriented table), n_dst likewise, w_src = sum of
+        outgoing w when the table carries weights.
+
+        ONE aggregation replaces the separate vertex_frame distinct,
+        out_degrees groupBy, all-receivers distinct and sender-count
+        distinct that setup used to run as independent shuffles over the
+        same table (measured ~8 s of pre-loop jobs on the sf0.1 converged
+        PageRank). Derived views: vertex set = select(id); receivers =
+        filter(n_dst > 0); senders count = filter(n_src > 0).count()."""
+        if self._vstats is None:
+            self._vstats = {}
+        if dkey not in self._vstats:
+            frames = self._oriented(dkey)
+            has_w = "w" in frames[0].columns
+            parts = []
+            for fr in frames:
+                parts.append(
+                    fr.select(
+                        F.col("src").alias("id"),
+                        F.lit(1).alias("_s"),
+                        F.lit(0).alias("_d"),
+                        *([F.col("w").alias("_w")] if has_w else []),
+                    )
+                )
+                parts.append(
+                    fr.select(
+                        F.col("dst").alias("id"),
+                        F.lit(0).alias("_s"),
+                        F.lit(1).alias("_d"),
+                        *([F.lit(0.0).alias("_w")] if has_w else []),
+                    )
+                )
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            aggs = [
+                F.sum("_s").cast("long").alias("n_src"),
+                F.sum("_d").cast("long").alias("n_dst"),
+            ]
+            if has_w:
+                aggs.append(F.sum("_w").cast("double").alias("w_src"))
+            self._vstats[dkey] = self._cut(df.groupBy("id").agg(*aggs))
+        return self._vstats[dkey]
     #: "all senders changed" regime refinement, set per run() from
     #: program.has_out_edges (see GASProgram)
     _sender_pred = None
@@ -433,16 +502,13 @@ class GASEngine:
 
     def _all_receivers(self, dkey: str) -> DataFrame:
         """Constant frontier 'every vertex that can receive a gather
-        message' = distinct dst over the oriented frames (computed once
-        per direction key)."""
+        message' = ids with n_dst > 0 — a cheap filtered view of the one
+        materialized vertex_stats aggregation (no extra distinct shuffle).
+        Stored once so the regime test's identity check keeps working."""
         if self._all_recv is None:
             self._all_recv, self._all_recv_count = {}, {}
         if dkey not in self._all_recv:
-            frames = self._oriented(dkey)
-            df = frames[0].select(F.col("dst").alias("id"))
-            for fr in frames[1:]:
-                df = df.unionByName(fr.select(F.col("dst").alias("id")))
-            df = self._cut(df.distinct())
+            df = self.vertex_stats(dkey).filter(F.col("n_dst") > 0).select("id")
             self._all_recv[dkey] = df
             self._all_recv_count[dkey] = df.count()
         return self._all_recv[dkey]
@@ -620,11 +686,11 @@ class GASEngine:
         )
         self._n_senders = None
         if self._sender_pred is not None:
-            frames = self._oriented(self._dir_key(program))
-            senders = frames[0].select("src")
-            for fr in frames[1:]:
-                senders = senders.unionByName(fr.select("src"))
-            self._n_senders = senders.distinct().count()
+            self._n_senders = (
+                self.vertex_stats(self._dir_key(program))
+                .filter(F.col("n_src") > 0)
+                .count()
+            )
 
         step = start_step
         stale: list[DataFrame] = []  # persisted frames to release (t-2)
@@ -957,17 +1023,21 @@ class GASEngine:
             # push program that never reads the marker (declared via
             # uses_in_frontier=False): skip the join entirely
             joined = joined.withColumn("_in_frontier", F.lit(False))
+        # ONE withColumns + ONE select, and no .columns readbacks: every
+        # DataFrame op here re-analyzes the whole superstep subtree via a
+        # py4j round trip, and this method runs once per superstep — the
+        # old per-column withColumn chain measured ~120 ms/step of pure
+        # driver-side plan construction (on par with executing the step).
         new_cols = program.apply(joined)
-        for c, expr in new_cols.items():
-            joined = joined.withColumn(f"_new_{c}", expr)
+        joined = joined.withColumns(
+            {f"_new_{c}": expr for c, expr in new_cols.items()}
+        )
         joined = joined.withColumn(
             "_changed", F.coalesce(program.changed(joined), F.lit(False))
         )
         keep = [F.col("id")]
         for c in program.state_cols:
-            keep.append(
-                F.col(f"_new_{c}").alias(c) if f"_new_{c}" in joined.columns else F.col(c)
-            )
+            keep.append(F.col(f"_new_{c}").alias(c) if c in new_cols else F.col(c))
         keep.append(F.coalesce(F.col("_msg_cnt"), F.lit(0)).alias("_msg_cnt"))
         keep.append(F.col("_changed"))
         return joined.select(*keep)
@@ -1008,19 +1078,22 @@ class GASEngine:
                     on="dst",
                     how="inner",
                 )
+                # no .drop("id"): the parts select below projects only
+                # (src, dst, _msg), and every DataFrame op re-analyzes the
+                # whole superstep subtree driver-side (see _apply note)
                 m = touched.join(
                     vertices, touched["src"] == vertices["id"], "inner"
-                ).drop("id")
+                )
             else:
                 m = edges.join(
                     vertices, edges["src"] == vertices["id"], "inner"
-                ).drop("id")
+                )
                 if not is_all:
                     m = m.join(
                         frontier.withColumnRenamed("id", "dst"), on="dst", how="inner"
                     )
             parts.append(
-                m.withColumn("_msg", program.message(m)).select("src", "dst", "_msg")
+                m.select("src", "dst", program.message(m).alias("_msg"))
             )
         msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
         gathered = self._aggregate(msgs, program)
@@ -1049,7 +1122,7 @@ class GASEngine:
             if program.message_filter is not None:
                 m = m.filter(program.message_filter(m))
             parts.append(
-                m.withColumn("_msg", program.message(m)).select("src", "dst", "_msg")
+                m.select("src", "dst", program.message(m).alias("_msg"))
             )
         msgs = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
 
