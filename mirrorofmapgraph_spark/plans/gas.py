@@ -275,7 +275,16 @@ class GASEngine:
         explicitly to skip it."""
         if self.num_partitions is None:
             cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            m = self._edges_raw.count()
+            # Prefer counting an already-persisted copy (columnar cache scan)
+            # over re-executing the raw lineage — callers normally reach
+            # this through edges_partitioned(), whose bootstrap both
+            # materializes and counts in one pass (see there).
+            src = (
+                next(iter(self._edges_by.values()))
+                if self._edges_by
+                else self._edges_raw
+            )
+            m = src.count()
             self.num_partitions = max(8, min(cap, -(-m // 500_000)))
         return self.num_partitions
 
@@ -352,9 +361,33 @@ class GASEngine:
         (checkpoint blocks are row-serialized) — measured +26% median
         superstep wall at sf0.1 (264 -> 333 ms). The columnar cache wins."""
         if key not in self._edges_by:
-            df = self._edges_raw.repartition(
-                self._ensure_partitions(), F.col(key)
-            ).persist(StorageLevel.MEMORY_AND_DISK)
+            if self.num_partitions is None:
+                # Bootstrap: the auto-sizer needs the edge count, but
+                # counting the RAW frame re-executes its whole lineage
+                # (entry edge tables are scan+distinct subtrees — measured
+                # 3.9 s cold at sf0.1) only for the persist materialization
+                # to execute it AGAIN. Instead partition at the session
+                # ceiling, materialize + count in ONE pass, then align to
+                # the auto-sized count with a cache-to-cache repartition
+                # only when it differs (cheap: reads the columnar cache).
+                cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                boot = self._edges_raw.repartition(cap, F.col(key)).persist(
+                    StorageLevel.MEMORY_AND_DISK
+                )
+                m = boot.count()
+                self.num_partitions = max(8, min(cap, -(-m // 500_000)))
+                if self.num_partitions == cap:
+                    self._edges_by[key] = boot
+                    return boot
+                df = boot.repartition(
+                    self.num_partitions, F.col(key)
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                df.count()  # materialize from the boot cache before dropping it
+                boot.unpersist()
+            else:
+                df = self._edges_raw.repartition(
+                    self._ensure_partitions(), F.col(key)
+                ).persist(StorageLevel.MEMORY_AND_DISK)
             self._edges_by[key] = df
         return self._edges_by[key]
 
@@ -415,6 +448,7 @@ class GASEngine:
         self._vstats = {}
         self._all_recv = {}
         self._all_recv_count = {}
+        self._endpoint_counts_cache = {}
 
     #: constant all-receivers frontiers per aggregation key ("dst" for
     #: GATHER_IN_EDGES, "src" for GATHER_OUT_EDGES), computed once each
@@ -474,6 +508,27 @@ class GASEngine:
     #: program.has_out_edges (see GASProgram)
     _sender_pred = None
     _n_senders: int | None = None
+    #: (senders, receivers) scalar readbacks per direction key, ONE job
+    _endpoint_counts_cache: dict = None
+
+    def _endpoint_counts(self, dkey: str) -> tuple[int, int]:
+        """(n_senders, n_receivers) of the oriented direction — one
+        aggregation job over the materialized vertex_stats instead of two
+        separate filtered counts (each scalar readback is a full job; the
+        loop setup pays them serially)."""
+        if self._endpoint_counts_cache is None:
+            self._endpoint_counts_cache = {}
+        if dkey not in self._endpoint_counts_cache:
+            r = (
+                self.vertex_stats(dkey)
+                .agg(
+                    F.count_if(F.col("n_src") > 0).alias("s"),
+                    F.count_if(F.col("n_dst") > 0).alias("r"),
+                )
+                .first()
+            )
+            self._endpoint_counts_cache[dkey] = (int(r["s"]), int(r["r"]))
+        return self._endpoint_counts_cache[dkey]
 
     def _observe_applied(self, applied: DataFrame):
         """Attach the per-superstep metric observation (changed count,
@@ -510,7 +565,7 @@ class GASEngine:
         if dkey not in self._all_recv:
             df = self.vertex_stats(dkey).filter(F.col("n_dst") > 0).select("id")
             self._all_recv[dkey] = df
-            self._all_recv_count[dkey] = df.count()
+            self._all_recv_count[dkey] = self._endpoint_counts(dkey)[1]
         return self._all_recv[dkey]
 
     # -- checkpoint/resume -------------------------------------------------
@@ -686,11 +741,7 @@ class GASEngine:
         )
         self._n_senders = None
         if self._sender_pred is not None:
-            self._n_senders = (
-                self.vertex_stats(self._dir_key(program))
-                .filter(F.col("n_src") > 0)
-                .count()
-            )
+            self._n_senders = self._endpoint_counts(self._dir_key(program))[0]
 
         step = start_step
         stale: list[DataFrame] = []  # persisted frames to release (t-2)
