@@ -266,11 +266,14 @@ class GASEngine:
 
     def _ensure_partitions(self) -> int:
         """Auto-size the loop's partition count on first use: ~500k edges
-        per partition, clamped to [8, spark.sql.shuffle.partitions]. A
+        per partition, clamped to [4, spark.sql.shuffle.partitions]. A
         76-superstep loop at 32 partitions on a 0.6M-edge graph spends
         more wall on task scheduling than on data (measured 71.5s -> 55.6s
-        at 8 partitions, sf0.1); at cluster scale the configured
-        shuffle-partition ceiling governs. One extra edge-count scan,
+        at 8 partitions, sf0.1; floor 8 -> 4 re-measured this round as a
+        further 13.99 -> 13.17 s interleaved min — the floor only binds
+        graphs under 2M edges, where per-step task count IS the wall; at
+        cluster scale the size-derived term and the configured
+        shuffle-partition ceiling govern). One extra edge-count scan,
         amortized over the whole iterative run; pass ``num_partitions``
         explicitly to skip it."""
         if self.num_partitions is None:
@@ -285,7 +288,7 @@ class GASEngine:
                 else self._edges_raw
             )
             m = src.count()
-            self.num_partitions = max(8, min(cap, -(-m // 500_000)))
+            self.num_partitions = max(4, min(cap, -(-m // 500_000)))
         return self.num_partitions
 
     # -- lineage + statistics cut (the ping-pong buffer swap) ---------------
@@ -375,7 +378,7 @@ class GASEngine:
                     StorageLevel.MEMORY_AND_DISK
                 )
                 m = boot.count()
-                self.num_partitions = max(8, min(cap, -(-m // 500_000)))
+                self.num_partitions = max(4, min(cap, -(-m // 500_000)))
                 if self.num_partitions == cap:
                     self._edges_by[key] = boot
                     return boot
@@ -1014,8 +1017,12 @@ class GASEngine:
         _msg_cnt). Default: groupBy(dst).agg(combiner) with optional
         two-level salting; programs with a non-algebraic gather supply
         ``aggregate_fn`` instead."""
+        # The output is keyed ``id`` (aliased in the grouping itself), so
+        # _apply joins it to the vertex state without a rename op — every
+        # saved DataFrame op is one less py4j round trip + subtree
+        # re-analysis per superstep (see the _apply note).
         if program.aggregate_fn is not None:
-            return program.aggregate_fn(msgs)
+            return program.aggregate_fn(msgs).withColumnRenamed("dst", "id")
         val = F.col("_msg")
         if self.salt_buckets > 1:
             partial = (
@@ -1025,11 +1032,11 @@ class GASEngine:
                 .groupBy("dst", "_salt")
                 .agg(program.combiner(val).alias("_msg"), F.count("*").alias("_cnt"))
             )
-            return partial.groupBy("dst").agg(
+            return partial.groupBy(F.col("dst").alias("id")).agg(
                 program.combiner(F.col("_msg")).alias("_gathered"),
                 F.sum("_cnt").alias("_msg_cnt"),
             )
-        return msgs.groupBy("dst").agg(
+        return msgs.groupBy(F.col("dst").alias("id")).agg(
             program.combiner(val).alias("_gathered"),
             F.count("*").alias("_msg_cnt"),
         )
@@ -1049,9 +1056,7 @@ class GASEngine:
         the same hash — the join is co-partitioned (no exchange). The
         frontier marker join is skipped entirely when frontier == ALL
         (srcVertex ALL programs spend most supersteps there)."""
-        joined = vertices.join(
-            gathered.withColumnRenamed("dst", "id"), on="id", how="left"
-        )
+        joined = vertices.join(gathered, on="id", how="left")
         if frontier_size >= self._n_vertices:
             joined = joined.withColumn("_in_frontier", F.lit(True))
         elif program.mode == "pull":
@@ -1083,14 +1088,16 @@ class GASEngine:
         joined = joined.withColumns(
             {f"_new_{c}": expr for c, expr in new_cols.items()}
         )
-        joined = joined.withColumn(
-            "_changed", F.coalesce(program.changed(joined), F.lit(False))
-        )
+        # _changed folds into the projection (its expression only reads
+        # columns that already exist after the _new_* op) — one select
+        # instead of withColumn + select.
         keep = [F.col("id")]
         for c in program.state_cols:
             keep.append(F.col(f"_new_{c}").alias(c) if c in new_cols else F.col(c))
         keep.append(F.coalesce(F.col("_msg_cnt"), F.lit(0)).alias("_msg_cnt"))
-        keep.append(F.col("_changed"))
+        keep.append(
+            F.coalesce(program.changed(joined), F.lit(False)).alias("_changed")
+        )
         return joined.select(*keep)
 
     def _superstep_pull(
