@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     MERSENNE31,
+    gram_hashes,
     hamming32,
     minhash_signature,
     perm_params,
     simhash32,
-    token_hash,
 )
 from ..functions.text import tokens, word_ngrams
 
@@ -99,11 +99,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingle_hashes(docs: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
-    """Add `shingles`: array<long> of portable hashes of word n-grams."""
+    """Add `shingles`: array<long> of portable hashes of word n-grams.
+
+    Tokenize/n-gram stays JVM-side; the per-gram polynomial hash runs in
+    the Arrow-vectorized ``gram_hashes`` kernel (bit-identical values —
+    see functions/hashing.py)."""
     grams = word_ngrams(F.col(text_col), ngram)
-    return docs.withColumn(
-        "shingles", F.array_distinct(F.transform(grams, lambda g: token_hash(g)))
-    )
+    return docs.withColumn("shingles", F.array_distinct(gram_hashes(grams)))
 
 
 def minhash_signatures(
@@ -318,9 +320,7 @@ def simhash_fingerprints(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(id, simhash): 32-bit fingerprint over whitespace-token hashes."""
-    toks = F.array_distinct(
-        F.transform(tokens(F.lower(F.col(text_col))), lambda t: token_hash(t))
-    )
+    toks = F.array_distinct(gram_hashes(tokens(F.lower(F.col(text_col)))))
     return docs.select(F.col(id_col).alias("id"), simhash32(toks).alias("simhash"))
 
 

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import rolling_fingerprint, token_hash
+from ..functions.hashing import gram_hashes, rolling_fingerprint
 from ..functions.text import (
     bpe_ish_token_count,
     lang_id,
@@ -44,7 +44,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, fingerprint): order-sensitive rolling hash of the token stream —
     cheap near-identity document identity at corpus scale."""
-    toks = F.transform(tokens(F.lower(F.col(text_col))), lambda t: token_hash(t))
+    toks = gram_hashes(tokens(F.lower(F.col(text_col))))
     return docs.select(F.col(id_col), rolling_fingerprint(toks).alias("fingerprint"))
 
 

@@ -231,6 +231,81 @@ def test_token_hash_matches_python(spark):
         assert got[w] == token_hash_py(w)
 
 
+def test_vectorized_hash_kernels_match_jvm_formulations(spark):
+    """The Arrow/numpy kernels (gram_hashes, minhash_signature, simhash32)
+    must be bit-identical to the interpreted JVM folds they replaced —
+    including unicode, null elements/arrays, empty grams and an empty gram
+    at a batch tail (the reduceat boundary case)."""
+    from mirrorofmapgraph_spark.functions import hashing as H
+
+    gram_cases = [
+        (1, ["a", "b c", "hello world foo", ""]),  # trailing empty gram
+        (2, []),
+        (3, None),
+        (4, ["é", "你好 世界", "\U0001F600 xyz"]),  # BMP/CJK/non-BMP
+        (5, [None, "a", None]),
+        (6, ["x" * 5000]),
+        (7, ["", "", ""]),
+        (8, ["abc", ""]),  # trailing empty at the batch tail
+    ]
+    df = spark.createDataFrame(gram_cases, "id int, grams array<string>")
+    rows = df.select(
+        "id",
+        H.gram_hashes(F.col("grams")).alias("new_h"),
+        F.transform(F.col("grams"), lambda g: H.token_hash(g)).alias("old_h"),
+    ).collect()
+    for r in rows:
+        assert r["new_h"] == r["old_h"], f"gram_hashes case {r['id']}"
+
+    def old_sig(col, num_perm, seed=1):
+        def perm_fn(a, b):
+            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(H.MERSENNE31)
+
+        sigs = [
+            F.array_min(F.transform(col, perm_fn(a, b)))
+            for a, b in H.perm_params(num_perm, seed)
+        ]
+        return F.array(*[F.coalesce(s, F.lit(H.MERSENNE31)) for s in sigs])
+
+    def old_simhash(col):
+        def contrib_fn(k):
+            return lambda acc, h: acc + F.when(
+                F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        bits = []
+        for k in range(32):
+            contrib = F.aggregate(col, F.lit(0).cast("long"), contrib_fn(k))
+            bits.append(
+                F.when(contrib > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    hash_cases = [
+        (1, [5, 17, 999999, 0]),
+        (2, []),
+        (3, None),
+        (4, [2**31 - 2]),
+        (5, list(range(1, 400))),
+        (6, [H.MERSENNE31 - 1] * 3),
+        (7, []),  # empty at the batch tail
+    ]
+    dh = spark.createDataFrame(hash_cases, "id int, hs array<long>")
+    rows = dh.select(
+        "id",
+        H.minhash_signature(F.col("hs"), 32).alias("new_s"),
+        old_sig(F.col("hs"), 32).alias("old_s"),
+        H.simhash32(F.col("hs")).alias("new_f"),
+        old_simhash(F.col("hs")).alias("old_f"),
+    ).collect()
+    for r in rows:
+        assert r["new_s"] == r["old_s"], f"minhash case {r['id']}"
+        assert r["new_f"] == r["old_f"], f"simhash case {r['id']}"
+
+
 # ---- similarity ------------------------------------------------------------
 
 def test_brute_force_topk_matches_numpy(spark, emb):
