@@ -53,6 +53,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+from pyspark.util import InheritableThread
 
 _RDD_WARN_QUIETED = False
 
@@ -771,8 +772,16 @@ class GASEngine:
         prev_changed_all = (
             program.mode == "pull" and frontier_size >= self._n_vertices
         )
+        # Speculative next-superstep plan, built by the all-changed branch
+        # below while the current step materializes (see there). Consumed
+        # at the loop top iff the observation confirmed the regime held —
+        # the exact condition under which sequential execution would have
+        # built the identical plan (same state frame, same all-receivers
+        # frontier, same size argument).
+        spec_applied: DataFrame | None = None
         while frontier_size > 0 and step < max_iter:
             if fuse_on and prev_changed_all and max_iter - step >= 2:
+                spec_applied = None  # fused blocks build their own chain
                 k = min(self.fuse_supersteps, max_iter - step)
                 block = self._run_fused_block(
                     program, vertices, frontier, frontier_size, k, metrics, step
@@ -808,7 +817,11 @@ class GASEngine:
                         )
                     continue
             t0 = time.monotonic()
-            applied = superstep_fn(program, vertices, frontier, frontier_size)
+            if spec_applied is not None:
+                applied = spec_applied  # prebuilt during the previous step
+                spec_applied = None
+            else:
+                applied = superstep_fn(program, vertices, frontier, frontier_size)
             # Ping-pong buffer swap + lineage cut (the reference's
             # reset_gather/double-buffer analogue, csr_problem.cuh:180-183).
             # The superstep plan embeds the previous state/frontier several
@@ -816,19 +829,54 @@ class GASEngine:
             # grows exponentially across supersteps (measured: 4 supersteps
             # -> 60s of pure planning). Two job shapes, picked by regime:
             if program.mode == "pull" and prev_changed_all:
-                # ALL-CHANGED regime: metrics ride the eager checkpoint via
-                # df.observe (CollectMetrics fires when the localCheckpoint
-                # executes — zero extra jobs); while the regime holds, the
-                # expand shuffle is skipped entirely (next frontier = the
-                # constant all-receivers set).
-                applied, obs = self._observe_applied(applied)
-                applied = self._cut(applied)
+                # ALL-CHANGED regime, overlapped: the superstep is cut
+                # LAZILY and a background thread materializes it with ONE
+                # count job over the observed checkpoint scan (the same
+                # job shape — and observation trigger — the
+                # partial-frontier branch below has always used, so the
+                # metrics still ride the materialization: zero extra
+                # jobs). While that job runs, the DRIVER builds the NEXT
+                # superstep's plan speculatively against the constant
+                # all-receivers frontier. Plan construction is pure
+                # py4j/analysis work (~85 ms/step, 21% of a converged
+                # sf0.1 PageRank wall — measured this round) that was
+                # previously SERIAL with the ~110-200 ms execution;
+                # overlapping hides nearly all of it. Exactness is
+                # untouched: the speculative plan is exactly the plan the
+                # sequential path would build iff the observation confirms
+                # the regime held (same state frame, same all-receivers
+                # frontier, same size argument — the loop-top consumer
+                # checks that condition), and it is discarded unexecuted
+                # otherwise; while the regime holds the expand shuffle is
+                # still skipped entirely (next frontier = all-receivers).
+                applied = self._cut(applied, eager=False)
+                applied_obs, obs = self._observe_applied(applied)
+                mat_err: list[BaseException] = []
+
+                def _materialize(df=applied_obs, err=mat_err):
+                    try:
+                        df.count()
+                    except BaseException as e:  # re-raised after join
+                        err.append(e)
+
+                mat = InheritableThread(target=_materialize, daemon=True)
+                mat.start()
                 vertices = applied.drop("_changed", "_msg_cnt")
+                dkey = self._dir_key(program)
+                all_recv = self._all_receivers(dkey)
+                spec = None
+                if step + 1 < max_iter:
+                    spec = superstep_fn(
+                        program, vertices, all_recv, self._all_recv_count[dkey]
+                    )
+                mat.join()
+                if mat_err:
+                    raise mat_err[0]
                 row = self._read_observation(obs, applied)
                 if self._all_changed(row):
-                    dkey = self._dir_key(program)
-                    frontier = self._all_receivers(dkey)
+                    frontier = all_recv
                     frontier_size = self._all_recv_count[dkey]
+                    spec_applied = spec
                 else:
                     frontier = self._next_frontier(
                         program, applied, frontier_size
@@ -853,8 +901,42 @@ class GASEngine:
                 frontier = self._next_frontier(
                     program, applied_obs, frontier_size
                 ).persist(StorageLevel.MEMORY_AND_DISK)
-                frontier_size = frontier.count()  # one job: state+frontier
+                # Overlap here too: the frontier count (the ONE job that
+                # materializes state+frontier+metrics) runs on a background
+                # thread while the driver speculatively builds the next
+                # superstep's plan. The loop-top build is IDENTICAL in both
+                # regimes — superstep_fn(vertices, frontier, fs) — and its
+                # plan depends on the still-unknown next fs only through
+                # two discrete predicates (all-frontier? broadcast-size?),
+                # so the speculative plan built with the PRE-step size as
+                # the estimate is consumed iff those predicates agree with
+                # the actual count (else discarded unexecuted and rebuilt
+                # sequentially — e.g. the single step where a threshold is
+                # crossed). Exactness unchanged.
+                est_fs = frontier_size
+                cnt_out: list[int] = []
+                mat_err: list[BaseException] = []
+
+                def _count_frontier(df=frontier, out=cnt_out, err=mat_err):
+                    try:
+                        out.append(df.count())
+                    except BaseException as e:  # re-raised after join
+                        err.append(e)
+
+                mat = InheritableThread(target=_count_frontier, daemon=True)
+                mat.start()
+                spec = None
+                if step + 1 < max_iter:
+                    spec = superstep_fn(program, vertices, frontier, est_fs)
+                mat.join()
+                if mat_err:
+                    raise mat_err[0]
+                frontier_size = cnt_out[0]  # one job: state+frontier
                 row = self._read_observation(obs, applied)
+                if spec is not None and self._plan_preds(
+                    est_fs
+                ) == self._plan_preds(frontier_size):
+                    spec_applied = spec
             changed_n = int(row["ch"] or 0)
             traversed = int(row["tr"] or 0)
             prev_changed_all = self._all_changed(row)
@@ -1011,6 +1093,16 @@ class GASEngine:
         if frontier_size <= self.broadcast_threshold:
             return F.broadcast(frontier)
         return frontier
+
+    def _plan_preds(self, frontier_size: int) -> tuple[bool, bool]:
+        """The ONLY two facts a superstep/apply plan reads from the
+        frontier size: all-frontier? and broadcast-eligible? Two sizes
+        with equal predicates produce byte-identical plans — the
+        validity test for the speculative builds in _run_loop."""
+        return (
+            frontier_size >= self._n_vertices,
+            frontier_size <= self.broadcast_threshold,
+        )
 
     def _aggregate(self, msgs: DataFrame, program: GASProgram) -> DataFrame:
         """Gather aggregation: (src, dst, _msg) -> (dst, _gathered,
