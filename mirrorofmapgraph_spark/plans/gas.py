@@ -352,6 +352,26 @@ class GASEngine:
                 pass
         release_local_checkpoint(self.spark, df)
 
+    def _estimate_edge_rows(self) -> int | None:
+        """Row-count estimate for the raw edge frame from Catalyst's
+        size-only statistics — NO job, just one driver-side analysis of
+        the lineage. The size estimate of a parquet scan+project subtree
+        is compressed on-disk bytes of the projected columns; dividing by
+        2 bytes/row deliberately OVER-estimates rows (edge pairs compress
+        to well above 2 bytes), so the derived partition count errs
+        toward more partitions — the safe direction at scale, and the
+        [4, cap] clamp absorbs it on small graphs. Used only to pick the
+        bootstrap partition count in edges_partitioned; the exact count
+        from the persisted copy remains the authority."""
+        try:
+            stats = self._edges_raw._jdf.queryExecution().optimizedPlan().stats()
+            b = int(str(stats.sizeInBytes()))
+            if b <= 0:
+                return None
+            return max(1, b // 2)
+        except Exception:
+            return None
+
     # -- edge-side pre-partitioning (once, outside the loop) ---------------
 
     def edges_partitioned(self, key: str) -> DataFrame:
@@ -370,17 +390,29 @@ class GASEngine:
                 # counting the RAW frame re-executes its whole lineage
                 # (entry edge tables are scan+distinct subtrees — measured
                 # 3.9 s cold at sf0.1) only for the persist materialization
-                # to execute it AGAIN. Instead partition at the session
-                # ceiling, materialize + count in ONE pass, then align to
-                # the auto-sized count with a cache-to-cache repartition
-                # only when it differs (cheap: reads the columnar cache).
+                # to execute it AGAIN. Boot at a NO-JOB Catalyst size
+                # estimate of the partition count (divisor 2 bytes/row —
+                # deliberately over-partitioning-biased, so a large graph
+                # never boots with too few partitions; the [4, cap] clamp
+                # absorbs small-graph noise), materialize + count in ONE
+                # pass, and align with a cache-to-cache repartition ONLY
+                # when the exact count lands on a different clamp value.
+                # At the measured SFs the estimate and the count agree on
+                # the floor, so the former second materialization
+                # (~0.3-0.4 s warm per GAS query) disappears; a mismatch
+                # costs exactly the old two-pass bootstrap.
                 cap = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-                boot = self._edges_raw.repartition(cap, F.col(key)).persist(
+                est = self._estimate_edge_rows()
+                p_boot = (
+                    cap if est is None
+                    else max(4, min(cap, -(-est // 500_000)))
+                )
+                boot = self._edges_raw.repartition(p_boot, F.col(key)).persist(
                     StorageLevel.MEMORY_AND_DISK
                 )
                 m = boot.count()
                 self.num_partitions = max(4, min(cap, -(-m // 500_000)))
-                if self.num_partitions == cap:
+                if self.num_partitions == p_boot:
                     self._edges_by[key] = boot
                     return boot
                 df = boot.repartition(
