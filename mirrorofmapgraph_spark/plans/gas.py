@@ -538,7 +538,12 @@ class GASEngine:
             ]
             if has_w:
                 aggs.append(F.sum("_w").cast("double").alias("w_src"))
-            self._vstats[dkey] = self._cut(df.groupBy("id").agg(*aggs))
+            # LAZY cut: the first consumer's action (normally the loop's
+            # entry-frontier count, whose lineage reads this frame)
+            # materializes the checkpoint as part of its own job — one
+            # fewer standalone setup job per GAS run; later consumers
+            # (endpoint counts, v0) read the materialized blocks.
+            self._vstats[dkey] = self._cut(df.groupBy("id").agg(*aggs), eager=False)
         return self._vstats[dkey]
     #: "all senders changed" regime refinement, set per run() from
     #: program.has_out_edges (see GASProgram)
@@ -762,10 +767,14 @@ class GASEngine:
         start_step: int,
         max_iter: int,
     ) -> GASResult:
+        # LAZY entry cuts: the two scalar readbacks right below double as
+        # the materializing actions, so entry state+frontier cost two jobs
+        # instead of four (eager checkpoint + separate count each).
         vertices = self._cut(
-            vertices.repartition(self._ensure_partitions(), F.col("id"))
+            vertices.repartition(self._ensure_partitions(), F.col("id")),
+            eager=False,
         )
-        frontier = self._cut(frontier)
+        frontier = self._cut(frontier, eager=False)
         frontier_size = frontier.count()
         self._n_vertices = vertices.count()
         # "all senders changed" refinement of the all-changed regime test
