@@ -65,6 +65,15 @@ def connected_components(
     # raw directed tables are traversed in both directions natively.
     expand_dir = "out" if pre_symmetrized else "all"
     if engine is None:
+        if expand_dir == "all":
+            # "all"-direction traversal defaults to the dual CSR+CSC
+            # layout (csr_problem.cuh:154-158): both per-superstep state
+            # joins co-partitioned (no reverse-pass exchange) for 2x the
+            # persisted edge bytes — the second copy is a cheap
+            # cache-to-cache repartition of the first. Measured at sf0.1:
+            # cc_converged 1.68 -> 1.54 s min and far lower variance.
+            # Pass dual_index=False to trade back at memory-bound scale.
+            engine_kwargs.setdefault("dual_index", True)
         engine = GASEngine(spark, edges, **engine_kwargs)
         # setup frames derive from the engine's one endpoint-stats
         # aggregation (see GASEngine.vertex_stats) instead of a separate

@@ -102,6 +102,12 @@ def label_propagation(
         und = canonical_undirected(edges)
         prog_dir = "all"
     if engine is None:
+        if prog_dir == "all":
+            # dual CSR+CSC layout for "all"-direction traversal (see the
+            # cc.py note): no reverse-pass exchange per superstep, second
+            # copy built cache-to-cache. Measured at sf0.1: labelprop2
+            # 2.73 -> 2.55 s min, far lower variance.
+            engine_kwargs.setdefault("dual_index", True)
         engine = GASEngine(
             spark, und, num_partitions=num_partitions, **engine_kwargs
         )

@@ -421,7 +421,16 @@ class GASEngine:
                 df.count()  # materialize from the boot cache before dropping it
                 boot.unpersist()
             else:
-                df = self._edges_raw.repartition(
+                # A second copy (dual_index) re-partitions the FIRST
+                # persisted copy cache-to-cache — same rows, any
+                # partitioning — instead of re-executing the raw lineage
+                # (entry edge tables are scan+distinct subtrees).
+                src_df = (
+                    next(iter(self._edges_by.values()))
+                    if self._edges_by
+                    else self._edges_raw
+                )
+                df = src_df.repartition(
                     self._ensure_partitions(), F.col(key)
                 ).persist(StorageLevel.MEMORY_AND_DISK)
             self._edges_by[key] = df
