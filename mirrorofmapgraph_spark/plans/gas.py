@@ -822,16 +822,33 @@ class GASEngine:
         prev_changed_all = (
             program.mode == "pull" and frontier_size >= self._n_vertices
         )
-        # Speculative next-superstep plan, built by the all-changed branch
-        # below while the current step materializes (see there). Consumed
-        # at the loop top iff the observation confirmed the regime held —
-        # the exact condition under which sequential execution would have
-        # built the identical plan (same state frame, same all-receivers
-        # frontier, same size argument).
-        spec_applied: DataFrame | None = None
+        # Speculative next-superstep PACK (plan -> lazy cut -> observe),
+        # fully prebuilt by both regime branches below while the current
+        # step materializes on a background thread. Consumed at the loop
+        # top iff the building branch confirmed — from the actual
+        # observation / frontier count — that sequential execution would
+        # have built the identical plan; discarded unexecuted otherwise.
+        # Prebuilding the cut+observe too hides the per-step Catalyst
+        # planning and localCheckpoint RDD creation behind executor work,
+        # not just the py4j DataFrame construction.
+        # The all-changed branch prebuilds the FULL pack (execution there
+        # is long enough to hide the extra Catalyst/localCheckpoint driver
+        # work); the partial branch prebuilds only the plain plan — its
+        # materializing job is short (small tail frontiers), and an A/B
+        # showed pack-building in that window LENGTHENS cheap steps
+        # (cc_converged 1.46 -> 1.68 s) while the plain spec does not.
+        spec_pack: tuple | None = None
+        spec_plan: DataFrame | None = None
+
+        def _cut_observe(a: DataFrame):
+            a = self._cut(a, eager=False)
+            a_obs, o = self._observe_applied(a)
+            return a, a_obs, o
+
         while frontier_size > 0 and step < max_iter:
             if fuse_on and prev_changed_all and max_iter - step >= 2:
-                spec_applied = None  # fused blocks build their own chain
+                spec_pack = None  # fused blocks build their own chain
+                spec_plan = None
                 k = min(self.fuse_supersteps, max_iter - step)
                 block = self._run_fused_block(
                     program, vertices, frontier, frontier_size, k, metrics, step
@@ -867,42 +884,42 @@ class GASEngine:
                         )
                     continue
             t0 = time.monotonic()
-            if spec_applied is not None:
-                applied = spec_applied  # prebuilt during the previous step
-                spec_applied = None
+            if spec_pack is not None:
+                applied, applied_obs, obs = spec_pack  # prebuilt last step
+                spec_pack = None
             else:
-                applied = superstep_fn(program, vertices, frontier, frontier_size)
+                if spec_plan is not None:
+                    a, spec_plan = spec_plan, None  # prebuilt plan only
+                else:
+                    a = superstep_fn(program, vertices, frontier, frontier_size)
+                applied, applied_obs, obs = _cut_observe(a)
             # Ping-pong buffer swap + lineage cut (the reference's
             # reset_gather/double-buffer analogue, csr_problem.cuh:180-183).
             # The superstep plan embeds the previous state/frontier several
             # times each, so WITHOUT a hard truncation the logical plan
             # grows exponentially across supersteps (measured: 4 supersteps
-            # -> 60s of pure planning). Two job shapes, picked by regime:
+            # -> 60s of pure planning). The checkpoint is LAZY in both
+            # regimes: a background thread runs the ONE materializing job
+            # while the DRIVER builds the next superstep's pack
+            # (plan -> lazy cut -> observe) speculatively — per-step plan
+            # construction is ~85-110 ms of pure py4j/Catalyst work
+            # (21% of a converged sf0.1 PageRank wall, measured this
+            # round) that was previously SERIAL with the ~110-200 ms
+            # execution. Exactness is untouched: the pack is consumed only
+            # when the actual observation / frontier count confirms
+            # sequential execution would have built the identical plan,
+            # else it is discarded unexecuted. Two job shapes by regime:
+            vertices = applied.drop("_changed", "_msg_cnt")
+            mat_err: list[BaseException] = []
             if program.mode == "pull" and prev_changed_all:
-                # ALL-CHANGED regime, overlapped: the superstep is cut
-                # LAZILY and a background thread materializes it with ONE
-                # count job over the observed checkpoint scan (the same
-                # job shape — and observation trigger — the
-                # partial-frontier branch below has always used, so the
-                # metrics still ride the materialization: zero extra
-                # jobs). While that job runs, the DRIVER builds the NEXT
-                # superstep's plan speculatively against the constant
-                # all-receivers frontier. Plan construction is pure
-                # py4j/analysis work (~85 ms/step, 21% of a converged
-                # sf0.1 PageRank wall — measured this round) that was
-                # previously SERIAL with the ~110-200 ms execution;
-                # overlapping hides nearly all of it. Exactness is
-                # untouched: the speculative plan is exactly the plan the
-                # sequential path would build iff the observation confirms
-                # the regime held (same state frame, same all-receivers
-                # frontier, same size argument — the loop-top consumer
-                # checks that condition), and it is discarded unexecuted
-                # otherwise; while the regime holds the expand shuffle is
-                # still skipped entirely (next frontier = all-receivers).
-                applied = self._cut(applied, eager=False)
-                applied_obs, obs = self._observe_applied(applied)
-                mat_err: list[BaseException] = []
-
+                # ALL-CHANGED regime: the metrics ride the checkpoint
+                # materialization (one count job over the observed
+                # checkpoint scan — the same observation trigger the
+                # partial branch has always used; zero extra jobs), the
+                # expand shuffle is skipped entirely (next frontier = the
+                # constant all-receivers set), and the speculative pack
+                # assumes the regime holds — the condition the consumer
+                # checks below.
                 def _materialize(df=applied_obs, err=mat_err):
                     try:
                         df.count()
@@ -911,13 +928,14 @@ class GASEngine:
 
                 mat = InheritableThread(target=_materialize, daemon=True)
                 mat.start()
-                vertices = applied.drop("_changed", "_msg_cnt")
                 dkey = self._dir_key(program)
                 all_recv = self._all_receivers(dkey)
-                spec = None
+                cand = None
                 if step + 1 < max_iter:
-                    spec = superstep_fn(
-                        program, vertices, all_recv, self._all_recv_count[dkey]
+                    cand = _cut_observe(
+                        superstep_fn(
+                            program, vertices, all_recv, self._all_recv_count[dkey]
+                        )
                     )
                 mat.join()
                 if mat_err:
@@ -926,7 +944,7 @@ class GASEngine:
                 if self._all_changed(row):
                     frontier = all_recv
                     frontier_size = self._all_recv_count[dkey]
-                    spec_applied = spec
+                    spec_pack = cand
                 else:
                     frontier = self._next_frontier(
                         program, applied, frontier_size
@@ -934,38 +952,23 @@ class GASEngine:
                     frontier_size = frontier.count()  # convergence readback
             else:
                 # PARTIAL-FRONTIER regime (push programs, converging tails,
-                # graphs with never-changing sink senders): checkpoint
-                # LAZILY and attach the observation OVER the checkpoint scan
-                # inside the frontier query, so ONE job materializes the new
-                # state, the exact next frontier, AND the metrics (the
-                # frontier plan reads every applied row anyway for the
-                # _changed filter). Halves the per-superstep job count where
-                # the all-changed fast path can't engage — measured [see
-                # A/B in the commit] on the 82-step sf0.01 converged
-                # PageRank whose driver-gate cost this bounds. Exactness
-                # unchanged: the computed frontier is the same expand the
-                # eager path runs, co-partitioning is untouched.
-                applied = self._cut(applied, eager=False)
-                applied_obs, obs = self._observe_applied(applied)
-                vertices = applied.drop("_changed", "_msg_cnt")
+                # graphs with never-changing sink senders): the observation
+                # rides the frontier query over the checkpoint scan, so ONE
+                # job materializes the new state, the exact next frontier,
+                # AND the metrics (the frontier plan reads every applied
+                # row anyway for the _changed filter) — halves the
+                # per-superstep job count where the all-changed fast path
+                # can't engage. The speculative pack is built with the
+                # PRE-step size as the estimate: the plan depends on the
+                # still-unknown next frontier size only through two
+                # discrete predicates (all-frontier? broadcast-size?), so
+                # it is consumed iff those predicates agree with the actual
+                # count (a threshold-crossing step rebuilds sequentially).
                 frontier = self._next_frontier(
                     program, applied_obs, frontier_size
                 ).persist(StorageLevel.MEMORY_AND_DISK)
-                # Overlap here too: the frontier count (the ONE job that
-                # materializes state+frontier+metrics) runs on a background
-                # thread while the driver speculatively builds the next
-                # superstep's plan. The loop-top build is IDENTICAL in both
-                # regimes — superstep_fn(vertices, frontier, fs) — and its
-                # plan depends on the still-unknown next fs only through
-                # two discrete predicates (all-frontier? broadcast-size?),
-                # so the speculative plan built with the PRE-step size as
-                # the estimate is consumed iff those predicates agree with
-                # the actual count (else discarded unexecuted and rebuilt
-                # sequentially — e.g. the single step where a threshold is
-                # crossed). Exactness unchanged.
                 est_fs = frontier_size
                 cnt_out: list[int] = []
-                mat_err: list[BaseException] = []
 
                 def _count_frontier(df=frontier, out=cnt_out, err=mat_err):
                     try:
@@ -975,18 +978,18 @@ class GASEngine:
 
                 mat = InheritableThread(target=_count_frontier, daemon=True)
                 mat.start()
-                spec = None
+                cand = None
                 if step + 1 < max_iter:
-                    spec = superstep_fn(program, vertices, frontier, est_fs)
+                    cand = superstep_fn(program, vertices, frontier, est_fs)
                 mat.join()
                 if mat_err:
                     raise mat_err[0]
                 frontier_size = cnt_out[0]  # one job: state+frontier
                 row = self._read_observation(obs, applied)
-                if spec is not None and self._plan_preds(
+                if cand is not None and self._plan_preds(
                     est_fs
                 ) == self._plan_preds(frontier_size):
-                    spec_applied = spec
+                    spec_plan = cand
             changed_n = int(row["ch"] or 0)
             traversed = int(row["tr"] or 0)
             prev_changed_all = self._all_changed(row)
