@@ -1643,14 +1643,28 @@ NJ_MAX_BUCKET = 64
 
 
 def q_docs_ngram_jaccard(spark, sf_dir):
-    from mirrorofmapgraph_spark.operators.dedup import minhash_candidates, verify_pairs
+    from pyspark.storagelevel import StorageLevel
+
+    from mirrorofmapgraph_spark.operators.dedup import (
+        minhash_candidates,
+        shingle_hashes,
+        verify_pairs,
+    )
 
     docs = _docs(spark, sf_dir)
+    # ONE shared (persisted) shingle frame feeds both the signature path
+    # and the exact verify — the tokenize/ngram/hash subtree used to run
+    # twice per query; identical arithmetic, same pairs.
+    sh = shingle_hashes(docs, "text", NJ_NGRAM).select(
+        F.col("doc_id").alias("id"), "shingles"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_candidates(
         docs, num_perm=NJ_NPERM, bands=NJ_BANDS, ngram=NJ_NGRAM, seed=1,
-        max_bucket=NJ_MAX_BUCKET,
+        max_bucket=NJ_MAX_BUCKET, shingled=sh,
     )
-    return verify_pairs(docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD)
+    return verify_pairs(
+        docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD, shingled=sh
+    )
 
 
 def _ngram_jaccard_sql() -> str:
@@ -1684,18 +1698,27 @@ def q_docs_dup_clusters(spark, sf_dir):
     This is the 100 TB dedup shape end-to-end: candidate generation is
     bucket-bounded, verification touches candidates only, and clustering
     is the same engine that runs the link graph."""
+    from pyspark.storagelevel import StorageLevel
+
     from mirrorofmapgraph_spark.operators.cc import connected_components
     from mirrorofmapgraph_spark.operators.dedup import (
         minhash_candidates,
+        shingle_hashes,
         verify_pairs,
     )
 
     docs = _docs(spark, sf_dir)
+    # shared shingle frame: see q_docs_ngram_jaccard
+    sh = shingle_hashes(docs, "text", NJ_NGRAM).select(
+        F.col("doc_id").alias("id"), "shingles"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_candidates(
         docs, num_perm=NJ_NPERM, bands=NJ_BANDS, ngram=NJ_NGRAM, seed=1,
-        max_bucket=NJ_MAX_BUCKET,
+        max_bucket=NJ_MAX_BUCKET, shingled=sh,
     )
-    pairs = verify_pairs(docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD)
+    pairs = verify_pairs(
+        docs, cand, ngram=NJ_NGRAM, threshold=NJ_THRESHOLD, shingled=sh
+    )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
         F.lit(1.0).alias("w"),

@@ -116,12 +116,23 @@ def minhash_signatures(
     num_perm: int = 32,
     ngram: int = 3,
     seed: int = 1,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """(id, sig array<long>): one minhash signature row per doc."""
+    """(id, sig array<long>): one minhash signature row per doc.
+
+    ``shingled`` optionally supplies a precomputed (id, shingles) frame
+    (e.g. one shared — and persisted — with an exact-verify stage, so the
+    tokenize/ngram/hash subtree runs once per pipeline, not once per
+    consumer); identical arithmetic either way."""
+    sh = (
+        shingled
+        if shingled is not None
+        else shingle_hashes(docs, text_col, ngram).select(
+            F.col(id_col).alias("id"), "shingles"
+        )
+    )
     return (
-        shingle_hashes(docs, text_col, ngram)
-        .select(F.col(id_col).alias("id"), "shingles")
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_perm, seed))
+        sh.withColumn("sig", minhash_signature(F.col("shingles"), num_perm, seed))
         .drop("shingles")
     )
 
@@ -186,6 +197,7 @@ def minhash_candidates(
     ngram: int = 3,
     seed: int = 1,
     max_bucket: int = 64,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, n_shared_bands, est_jaccard).
 
@@ -212,7 +224,8 @@ def minhash_candidates(
     from pyspark.storagelevel import StorageLevel
 
     sig = minhash_signatures(
-        docs, text_col, id_col, num_perm=num_perm, ngram=ngram, seed=seed
+        docs, text_col, id_col, num_perm=num_perm, ngram=ngram, seed=seed,
+        shingled=shingled,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     banded = _band_explode(sig, num_perm, bands)
     # exact-fingerprint group key: the FULL signature array itself
@@ -255,6 +268,7 @@ def verify_pairs(
     id_col: str = "doc_id",
     ngram: int = 3,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification of candidate pairs.
 
@@ -275,9 +289,12 @@ def verify_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = shingle_hashes(docs, text_col, ngram).select(
-        F.col(id_col).alias("id"), "shingles"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if shingled is not None:
+        sh = shingled  # shared (already persisted) upstream frame
+    else:
+        sh = shingle_hashes(docs, text_col, ngram).select(
+            F.col(id_col).alias("id"), "shingles"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     p = (
         pairs.select("id_a", "id_b")
         .join(sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
