@@ -169,3 +169,37 @@ def test_all_changed_regime_counts_senders_only(spark, make_edges):
                                (0, 3, 1.0), (1, 4, 1.0)], damping=0.6, tol=1e-8)
     for i in range(5):
         assert math.isclose(got[i], want[i], rel_tol=0, abs_tol=1e-6)
+
+
+def test_speculative_pack_equivalence_across_plan_regimes(spark, make_edges):
+    """The loop prebuilds the next superstep speculatively while the
+    current one materializes (plans/gas.py _run_loop). The speculative
+    plan's only dependence on the not-yet-known frontier size is the pair
+    of predicates (all-frontier?, broadcast-eligible?) — so forcing each
+    broadcast regime must produce identical converged ranks and identical
+    superstep counts: every speculation hit/miss path (all-changed hits,
+    the regime-break discard, tail-step pred hits, the threshold-crossing
+    miss) replays the same math.
+    """
+    from mirrorofmapgraph_spark.plans.gas import GASEngine
+
+    edges_spec = MULTI
+    out = {}
+    for bc in (1_000_000, 0):  # always-broadcast-eligible vs never
+        e = make_edges(edges_spec)
+        res = pagerank(
+            spark, e, tol=1e-8, max_iter=80, damping=0.6,
+            engine=GASEngine(
+                spark, e, broadcast_threshold=bc, collect_metrics=False
+            ),
+        )
+        out[bc] = (
+            res.supersteps,
+            res.converged,
+            {r["id"]: r["rank"] for r in res.vertices.collect()},
+        )
+    assert out[0][0] == out[1_000_000][0]
+    assert out[0][1] == out[1_000_000][1]
+    assert set(out[0][2]) == set(out[1_000_000][2])
+    for i, v in out[0][2].items():
+        assert v == out[1_000_000][2][i], (i, v, out[1_000_000][2][i])
